@@ -1,0 +1,155 @@
+"""Ring buffer semantics tests (mirrors the applicable parts of the
+reference's ``test/base/test_buffer.py``: circular writes, episode-aware
+prev/next, uniform sampling, n-step chains, frame stacking)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer import ReplayBuffer
+
+
+def _example():
+    return Batch(
+        obs=np.zeros(2, np.float32),
+        act=np.zeros((), np.int32),
+        rew=np.zeros((), np.float32),
+        terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool),
+        obs_next=np.zeros(2, np.float32),
+    )
+
+
+def _tr(i, num_envs=1, terminated=False, truncated=False):
+    """Transition batch for all envs with obs filled with i."""
+    return Batch(
+        obs=np.full((num_envs, 2), i, np.float32),
+        act=np.full((num_envs,), i, np.int32),
+        rew=np.full((num_envs,), float(i), np.float32),
+        terminated=np.full((num_envs,), terminated),
+        truncated=np.full((num_envs,), truncated),
+        obs_next=np.full((num_envs, 2), i + 1, np.float32),
+    )
+
+
+def test_ring_write_and_overwrite():
+    buf = ReplayBuffer(capacity=4, num_envs=1)
+    st = buf.init(_example())
+    for i in range(6):
+        st = buf.add(st, _tr(i).to_jax())
+    assert int(st.size[0]) == 4
+    assert int(st.cursor[0]) == 2  # 6 % 4
+    # slots hold the last 4 transitions: 2,3,4,5 at ring positions 2,3,0,1
+    acts = np.asarray(st.storage["act"][0])
+    assert list(acts) == [4, 5, 2, 3]
+
+
+def test_prev_next_episode_aware():
+    buf = ReplayBuffer(capacity=8, num_envs=1)
+    st = buf.init(_example())
+    # episode 1: steps 0,1,2 (2 terminated); episode 2: steps 3,4
+    for i, term in [(0, False), (1, False), (2, True), (3, False), (4, False)]:
+        st = buf.add(st, _tr(i, terminated=term).to_jax())
+    env = jnp.zeros(5, jnp.int32)
+    pos = jnp.arange(5)
+    nxt = np.asarray(buf.next_pos(st, env, pos))
+    # next saturates at the episode end (pos 2) and at the newest (pos 4)
+    assert list(nxt) == [1, 2, 2, 4, 4]
+    prv = np.asarray(buf.prev_pos(st, env, pos))
+    # prev saturates at episode starts (pos 0 and pos 3)
+    assert list(prv) == [0, 0, 1, 3, 3]
+
+
+def test_uniform_sampling_covers_valid_range():
+    buf = ReplayBuffer(capacity=10, num_envs=2)
+    st = buf.init(_example())
+    for i in range(5):
+        st = buf.add(st, _tr(i, num_envs=2).to_jax())
+    env_idx, pos = buf.sample_indices(st, jax.random.key(0), 256)
+    env_idx, pos = np.asarray(env_idx), np.asarray(pos)
+    assert set(np.unique(env_idx)) <= {0, 1}
+    assert pos.max() < 5  # only 5 valid entries per env
+    batch = buf.get(st, jnp.asarray(env_idx), jnp.asarray(pos))
+    # obs leaf values must be one of the written values 0..4
+    assert set(np.unique(np.asarray(batch["act"]))) <= set(range(5))
+    assert "done" in batch
+
+
+def test_nstep_chain_saturates_at_done():
+    buf = ReplayBuffer(capacity=8, num_envs=1)
+    st = buf.init(_example())
+    for i, term in [(0, False), (1, False), (2, True), (3, False), (4, False)]:
+        st = buf.add(st, _tr(i, terminated=term).to_jax())
+    env = jnp.zeros(1, jnp.int32)
+    rew, done, term_pos = buf.nstep_chain(st, env, jnp.asarray([0]), n_step=4)
+    # chain from 0: rewards 0,1,2 then saturate at 2 (done)
+    np.testing.assert_allclose(np.asarray(rew)[0], [0, 1, 2, 2])
+    np.testing.assert_allclose(np.asarray(done)[0], [0, 0, 1, 1])
+    assert int(term_pos[0]) == 2
+    # chain from 3: 3,4 then saturate at newest
+    rew, done, term_pos = buf.nstep_chain(st, env, jnp.asarray([3]), n_step=4)
+    np.testing.assert_allclose(np.asarray(rew)[0], [3, 4, 4, 4])
+    assert int(term_pos[0]) == 4
+
+
+def test_frame_stack_saturates_at_episode_start():
+    buf = ReplayBuffer(capacity=8, num_envs=1, stack_num=3)
+    st = buf.init(_example())
+    for i, term in [(0, False), (1, False), (2, True), (3, False), (4, False)]:
+        st = buf.add(st, _tr(i, terminated=term).to_jax())
+    env = jnp.zeros(3, jnp.int32)
+    pos = jnp.asarray([0, 2, 4])
+    stacked = np.asarray(buf.stacked_obs(st, env, pos))
+    # pos 0 is an episode start: frames [0,0,0]
+    np.testing.assert_allclose(stacked[0, :, 0], [0, 0, 0])
+    # pos 2: frames [0,1,2]
+    np.testing.assert_allclose(stacked[1, :, 0], [0, 1, 2])
+    # pos 4 (second episode, start at 3): frames [3,3,4]
+    np.testing.assert_allclose(stacked[2, :, 0], [3, 3, 4])
+
+
+def test_add_trajectory_and_chronological():
+    buf = ReplayBuffer(capacity=4, num_envs=2)
+    st = buf.init(_example())
+    T = 4
+    traj = Batch(
+        obs=np.arange(T * 2 * 2, dtype=np.float32).reshape(T, 2, 2),
+        act=np.arange(T * 2, dtype=np.int32).reshape(T, 2),
+        rew=np.zeros((T, 2), np.float32),
+        terminated=np.zeros((T, 2), bool),
+        truncated=np.zeros((T, 2), bool),
+        obs_next=np.zeros((T, 2, 2), np.float32),
+    ).to_jax()
+    st = buf.add_trajectory(st, traj)
+    assert int(st.size[0]) == 4
+    chron = buf.chronological(st)
+    np.testing.assert_allclose(
+        np.asarray(chron["act"]), np.asarray(traj["act"])
+    )
+
+
+def test_buffer_ops_inside_jit():
+    buf = ReplayBuffer(capacity=16, num_envs=2)
+    st = buf.init(_example())
+
+    @jax.jit
+    def fill_and_sample(st, key):
+        def body(st, i):
+            tr = Batch(
+                obs=jnp.full((2, 2), i, jnp.float32),
+                act=jnp.full((2,), i, jnp.int32),
+                rew=jnp.full((2,), 1.0),
+                terminated=jnp.zeros((2,), bool),
+                truncated=jnp.zeros((2,), bool),
+                obs_next=jnp.full((2, 2), i + 1, jnp.float32),
+            )
+            return buf.add(st, tr), None
+
+        st, _ = jax.lax.scan(body, st, jnp.arange(10))
+        batch, env_idx, pos = buf.sample(st, key, 32)
+        return st, batch
+
+    st, batch = fill_and_sample(st, jax.random.key(1))
+    assert int(st.size[0]) == 10
+    assert np.asarray(batch["obs"]).shape == (32, 2)

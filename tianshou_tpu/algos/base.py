@@ -1,0 +1,139 @@
+"""Algorithm base: pure-functional policy/learning interface.
+
+TPU-native re-design of the reference's ``BasePolicy``
+(``tianshou/policy/base.py:134``): instead of a stateful ``nn.Module`` with
+``forward``/``process_fn``/``learn``/``post_process_fn`` mutating Python
+state, an :class:`Algorithm` is a *static* configuration object whose methods
+are pure functions over an explicit :class:`TrainState` pytree.  Every method
+is jittable (the algorithm object is closed over as a static constant), so
+act/update fuse into the collector scan and the trainer super-step.
+
+Mapping to the reference contract:
+- ``forward``          -> :meth:`act` (explicit PRNG key, explore flag)
+- ``process_fn+learn`` -> :meth:`update` (sample, target computation and SGD
+                          fused in one jitted function)
+- ``post_process_fn``  -> return value of :meth:`update` (e.g. new PER
+                          priorities), applied functionally by the caller
+- ``map_action``       -> :meth:`map_action` (``policy/base.py:365-426``)
+- ``soft_update``      -> :func:`polyak_update` (``policy/base.py:285-288``)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer import ReplayBuffer, ReplayBufferState
+from tianshou_tpu.envs.spaces import Box, Discrete, MultiDiscrete, Space
+
+__all__ = ["TrainState", "Algorithm", "polyak_update", "RandomPolicy"]
+
+
+@struct.dataclass
+class TrainState:
+    """Generic learnable state; algorithms may subclass with extra fields."""
+
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    target_params: Any = None
+
+
+def polyak_update(target: Any, online: Any, tau: float) -> Any:
+    """Soft target update: ``target <- (1 - tau) * target + tau * online``."""
+    return jax.tree.map(lambda t, o: (1.0 - tau) * t + tau * o, target, online)
+
+
+class Algorithm:
+    """Static algorithm configuration.
+
+    Subclasses implement :meth:`init`, :meth:`act` and (for off-policy)
+    :meth:`update` or (for on-policy) :meth:`process_rollout`+:meth:`learn`.
+    Instances must be safely shareable across jit traces: all array state
+    lives in the TrainState, never on ``self``.
+    """
+
+    action_space: Space
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(self, key: jax.Array, obs_example: Any) -> TrainState:
+        raise NotImplementedError
+
+    # -- acting ------------------------------------------------------------
+    def act(
+        self,
+        ts: TrainState,
+        obs: Any,
+        key: jax.Array,
+        explore: bool,
+        explore_param: jax.Array | float = 0.0,
+    ) -> tuple[jax.Array, Batch]:
+        """Batched action selection.  Returns ``(action, extras)`` where
+        ``extras`` carries per-step policy outputs to store alongside the
+        transition (e.g. ``log_prob`` for PPO), possibly empty."""
+        raise NotImplementedError
+
+    def map_action(self, act: jax.Array) -> jax.Array:
+        """Map the policy's internal action to the env's action space.
+
+        Continuous policies emit actions in ``[-1, 1]``; this affinely
+        rescales to the Box bounds (reference ``map_action``
+        ``policy/base.py:365-426``).  Discrete spaces pass through.
+        """
+        space = self.action_space
+        if isinstance(space, (Discrete, MultiDiscrete)):
+            return act
+        assert isinstance(space, Box)
+        lo, hi = space.low_arr(), space.high_arr()
+        act = jnp.clip(act, -1.0, 1.0)
+        return lo + (act + 1.0) * 0.5 * (hi - lo)
+
+    # -- learning (off-policy / offline) ------------------------------------
+    def update(
+        self,
+        ts: TrainState,
+        buffer: ReplayBuffer,
+        bstate: ReplayBufferState,
+        key: jax.Array,
+        batch_size: int,
+    ) -> tuple[TrainState, dict[str, jax.Array]]:
+        raise NotImplementedError
+
+    # -- learning (on-policy) ------------------------------------------------
+    def process_rollout(
+        self, ts: TrainState, traj: Batch
+    ) -> Batch:
+        """Enrich a time-major ``[T, N, ...]`` rollout (advantages, returns,
+        old log-probs) before minibatch learning."""
+        raise NotImplementedError
+
+    def learn(
+        self, ts: TrainState, minibatch: Batch, key: jax.Array
+    ) -> tuple[TrainState, dict[str, jax.Array]]:
+        raise NotImplementedError
+
+
+class RandomPolicy(Algorithm):
+    """Uniform random actions (reference ``policy/random.py:19``); used for
+    warm-up collection before learning starts."""
+
+    def __init__(self, action_space: Space):
+        self.action_space = action_space
+
+    def init(self, key: jax.Array, obs_example: Any) -> TrainState:
+        return TrainState(params=(), opt_state=(), step=jnp.zeros((), jnp.int32))
+
+    def act(self, ts, obs, key, explore, explore_param=0.0):
+        leaves = jax.tree_util.tree_leaves(obs)
+        bsz = leaves[0].shape[0]
+        space = self.action_space
+        if isinstance(space, Box):
+            # internal convention: continuous actions live in [-1, 1]
+            a = jax.random.uniform(key, (bsz,) + space.shape, minval=-1.0, maxval=1.0)
+        else:
+            a = space.sample(key, (bsz,))
+        return a, Batch()

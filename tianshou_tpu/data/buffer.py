@@ -1,0 +1,248 @@
+"""HBM-resident ring replay buffer with on-device sampling.
+
+TPU-native re-design of the reference's buffer family
+(``tianshou/data/buffer/base.py:14`` ``ReplayBuffer``,
+``manager.py:12`` ``ReplayBufferManager``, ``vecbuf.py:15``
+``VectorReplayBuffer``): instead of a Python object mutating a numpy-backed
+``Batch``, the buffer is a pure pytree ``ReplayBufferState`` with storage
+shaped ``[num_envs, capacity, ...]`` living in device HBM, plus integer
+cursors.  Every operation (add / uniform sample / n-step index chaining /
+frame-stack gather) is a pure jittable function of that state, so the whole
+collect->sample->update pipeline stays on device with zero host sync.
+
+Index semantics mirror the reference exactly:
+- per-env circular writes (``buffer/base.py:239-292``);
+- episode-aware ``next``: saturates at episode end or at the newest element
+  (``buffer/base.py:184-190``, numba chaining ``manager.py:271-323``);
+- episode-aware ``prev``: saturates at episode start or the oldest element
+  (``buffer/base.py:174-183``) — used for frame-stacking
+  (``buffer/base.py:340-382``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.tree import tree_slice, tree_zeros_like_leading
+
+__all__ = ["ReplayBuffer", "ReplayBufferState"]
+
+
+@struct.dataclass
+class ReplayBufferState:
+    """Pure pytree state of a vectorized ring buffer.
+
+    ``storage`` leaves are ``[num_envs, capacity, ...]``; ``cursor``/``size``
+    are ``[num_envs]`` int32 (next write slot / number of valid entries).
+    """
+
+    storage: Batch
+    cursor: jax.Array
+    size: jax.Array
+
+    @property
+    def num_envs(self) -> int:
+        return self.cursor.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return jax.tree_util.tree_leaves(self.storage)[0].shape[1]
+
+
+class ReplayBuffer:
+    """Static configuration + pure ops over :class:`ReplayBufferState`.
+
+    Required storage keys (matching the reference's reserved keys,
+    ``buffer/base.py:33-43``): ``obs, act, rew, terminated, truncated,
+    obs_next`` — plus anything else the user adds (``info``-style extras,
+    per-step policy outputs).  ``done`` is derived, not stored.
+    """
+
+    def __init__(self, capacity: int, num_envs: int = 1, stack_num: int = 1):
+        assert capacity > 0 and num_envs > 0 and stack_num >= 1
+        self.capacity = capacity
+        self.num_envs = num_envs
+        self.stack_num = stack_num
+
+    # -- construction ------------------------------------------------------
+    def init(self, example_transition: Batch | Any) -> ReplayBufferState:
+        """Allocate zeroed storage from a single-step example pytree
+        (leaves shaped like one env's transition, no leading batch dims)."""
+        storage = tree_zeros_like_leading(
+            example_transition, (self.num_envs, self.capacity)
+        )
+        return ReplayBufferState(
+            storage=storage,
+            cursor=jnp.zeros((self.num_envs,), jnp.int32),
+            size=jnp.zeros((self.num_envs,), jnp.int32),
+        )
+
+    # -- writing -----------------------------------------------------------
+    def add(self, state: ReplayBufferState, transition: Batch | Any) -> ReplayBufferState:
+        """Write one transition per env (leaves ``[num_envs, ...]``)."""
+        env_ids = jnp.arange(self.num_envs)
+        storage = jax.tree.map(
+            lambda buf, val: buf.at[env_ids, state.cursor].set(val),
+            state.storage,
+            transition,
+        )
+        return state.replace(
+            storage=storage,
+            cursor=(state.cursor + 1) % self.capacity,
+            size=jnp.minimum(state.size + 1, self.capacity),
+        )
+
+    def add_trajectory(self, state: ReplayBufferState, traj: Batch | Any) -> ReplayBufferState:
+        """Write a whole ``[T, num_envs, ...]`` rollout via ``lax.scan``."""
+
+        def _body(st, tr):
+            return self.add(st, tr), None
+
+        state, _ = jax.lax.scan(_body, state, traj)
+        return state
+
+    # -- ring-position arithmetic -----------------------------------------
+    def _done(self, state: ReplayBufferState, env: jax.Array, pos: jax.Array) -> jax.Array:
+        s = state.storage
+        return (s["terminated"][env, pos] | s["truncated"][env, pos]).astype(bool)
+
+    def next_pos(self, state: ReplayBufferState, env: jax.Array, pos: jax.Array) -> jax.Array:
+        """Episode-aware successor slot (saturating), vectorized.
+
+        Mirrors reference ``ReplayBuffer.next`` (``buffer/base.py:184-190``):
+        stays put at episode ends and at the newest written element.
+        """
+        newest = (state.cursor[env] - 1) % self.capacity
+        stop = self._done(state, env, pos) | (pos == newest)
+        return jnp.where(stop, pos, (pos + 1) % self.capacity)
+
+    def prev_pos(self, state: ReplayBufferState, env: jax.Array, pos: jax.Array) -> jax.Array:
+        """Episode-aware predecessor slot (saturating), vectorized.
+
+        Mirrors reference ``ReplayBuffer.prev`` (``buffer/base.py:174-183``):
+        stays put at episode starts (previous transition done) and at the
+        oldest element.
+        """
+        oldest = (state.cursor[env] - state.size[env]) % self.capacity
+        prev = (pos - 1) % self.capacity
+        stop = self._done(state, env, prev) | (pos == oldest)
+        return jnp.where(stop, pos, prev)
+
+    # -- sampling ----------------------------------------------------------
+    def sample_indices(
+        self, state: ReplayBufferState, key: jax.Array, batch_size: int
+    ) -> tuple[jax.Array, jax.Array]:
+        """Uniform indices over all valid entries across envs.
+
+        Returns ``(env_idx, pos)`` each ``[batch_size]``.  Proportional
+        cross-env sampling as in the reference manager
+        (``buffer/manager.py:172-206``).
+        """
+        sizes = state.size
+        total = jnp.maximum(jnp.sum(sizes), 1)
+        flat = jax.random.randint(key, (batch_size,), 0, total)
+        bounds = jnp.cumsum(sizes)
+        env_idx = jnp.searchsorted(bounds, flat, side="right").astype(jnp.int32)
+        env_idx = jnp.minimum(env_idx, self.num_envs - 1)
+        offset_in_env = flat - jnp.where(env_idx > 0, bounds[env_idx - 1], 0)
+        # age-ordered offset -> ring position
+        start = (state.cursor[env_idx] - sizes[env_idx]) % self.capacity
+        pos = (start + offset_in_env) % self.capacity
+        return env_idx, pos
+
+    def get(
+        self,
+        state: ReplayBufferState,
+        env_idx: jax.Array,
+        pos: jax.Array,
+        keys: tuple[str, ...] | None = None,
+    ) -> Batch:
+        """Gather transitions at ``(env_idx, pos)``; adds derived ``done``."""
+        src = state.storage
+        if keys is not None:
+            src = Batch({k: src[k] for k in keys})
+        out = tree_slice(src, (env_idx, pos))
+        if "terminated" in out and "truncated" in out:
+            out["done"] = out["terminated"] | out["truncated"]
+        return out
+
+    def sample(
+        self, state: ReplayBufferState, key: jax.Array, batch_size: int
+    ) -> tuple[Batch, jax.Array, jax.Array]:
+        env_idx, pos = self.sample_indices(state, key, batch_size)
+        return self.get(state, env_idx, pos), env_idx, pos
+
+    # -- n-step chains -----------------------------------------------------
+    def nstep_chain(
+        self,
+        state: ReplayBufferState,
+        env_idx: jax.Array,
+        pos: jax.Array,
+        n_step: int,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Walk ``next_pos`` ``n_step-1`` times from each sampled index.
+
+        Returns ``(rew_chain [B, n], done_chain [B, n], terminal_pos [B])``
+        matching the reference's chained-``next`` gathering
+        (``policy/base.py:626-682``).  Feed into
+        :func:`tianshou_tpu.ops.returns.nstep_return`.
+        """
+        s = state.storage
+        done = (s["terminated"] | s["truncated"]).astype(jnp.int32)
+        rews, dones = [], []
+        cur = pos
+        for _ in range(n_step):
+            rews.append(s["rew"][env_idx, cur])
+            dones.append(done[env_idx, cur])
+            cur = self.next_pos(state, env_idx, cur)
+        rew_chain = jnp.stack(rews, axis=1)
+        done_chain = jnp.stack(dones, axis=1)
+        return rew_chain, done_chain, cur
+
+    # -- frame stacking ----------------------------------------------------
+    def stacked_obs(
+        self,
+        state: ReplayBufferState,
+        env_idx: jax.Array,
+        pos: jax.Array,
+        stack_num: int | None = None,
+        obs_key: str = "obs",
+    ) -> jax.Array:
+        """Gather the last ``stack_num`` observations ending at ``pos``.
+
+        Saturates at episode starts (repeating the first frame), mirroring
+        reference ``ReplayBuffer.get`` (``buffer/base.py:340-382``).
+        Output shape ``[B, stack_num, ...]`` (oldest frame first).
+        """
+        k = stack_num or self.stack_num
+        positions = [pos]
+        cur = pos
+        for _ in range(k - 1):
+            cur = self.prev_pos(state, env_idx, cur)
+            positions.append(cur)
+        positions.reverse()
+        obs = state.storage[obs_key]
+        frames = [obs[env_idx, p] for p in positions]
+        return jnp.stack(frames, axis=1)
+
+    # -- bulk views --------------------------------------------------------
+    def chronological(self, state: ReplayBufferState) -> Batch:
+        """Full buffer in time order per env: leaves ``[capacity, num_envs, ...]``.
+
+        Only meaningful when all envs hold ``capacity`` entries (the
+        on-policy full-buffer consumption pattern, reference
+        ``OnpolicyTrainer`` ``trainer/base.py:647-694``).
+        """
+        # age order: slot (cursor + t) % capacity is the t-th oldest when full
+        t = jnp.arange(self.capacity)
+        pos = (state.cursor[None, :] + t[:, None]) % self.capacity  # [T, N]
+        env = jnp.broadcast_to(
+            jnp.arange(self.num_envs)[None, :], pos.shape
+        )
+        out = tree_slice(state.storage, (env, pos))
+        return out

@@ -1,0 +1,215 @@
+"""Off-policy trainer: fused (collect -> k gradient steps) super-steps.
+
+TPU-native counterpart of the reference ``OffpolicyTrainer``
+(``tianshou/trainer/base.py:608-644``): the per-collect loop of
+``Collector.collect`` + ``round(update_per_step * n_collected)`` calls to
+``policy.update`` becomes ONE jitted super-step — a rollout ``lax.scan``
+followed by an update ``lax.scan`` — so an entire collect/update cycle is a
+single XLA program.  Epoch boundaries, test episodes, early stopping and
+checkpoint hooks stay in Python (they are not hot), mirroring the reference's
+``BaseTrainer`` epoch iterator (``trainer/base.py:36-583``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.algos.base import Algorithm, TrainState
+from tianshou_tpu.collect.collector import CollectState, Collector
+from tianshou_tpu.data.buffer import ReplayBuffer, ReplayBufferState
+from tianshou_tpu.data.stats import InfoStats
+from tianshou_tpu.collect.collector import rollout_segment
+
+__all__ = ["OffPolicyTrainer"]
+
+
+class OffPolicyTrainer:
+    def __init__(
+        self,
+        algo: Algorithm,
+        train_collector: Collector,
+        test_collector: Collector,
+        buffer: ReplayBuffer,
+        *,
+        max_epoch: int,
+        step_per_epoch: int,
+        step_per_collect: int,
+        update_per_step: float = 1.0,
+        batch_size: int = 64,
+        episode_per_test: int = 10,
+        train_param_fn: Callable[[int, int], float] | None = None,
+        test_param: float = 0.0,
+        stop_fn: Callable[[float], bool] | None = None,
+        warmup_steps: int = 0,
+        warmup_random: bool = True,
+        logger: Any | None = None,
+        seed: int = 0,
+        save_best_fn: Callable[[TrainState], None] | None = None,
+    ):
+        self.algo = algo
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.buffer = buffer
+        self.max_epoch = max_epoch
+        self.step_per_epoch = step_per_epoch
+        self.step_per_collect = step_per_collect
+        self.update_per_step = update_per_step
+        self.batch_size = batch_size
+        self.episode_per_test = episode_per_test
+        self.train_param_fn = train_param_fn or (lambda epoch, step: 0.0)
+        self.test_param = test_param
+        self.stop_fn = stop_fn
+        self.warmup_steps = warmup_steps
+        self.warmup_random = warmup_random
+        self.logger = logger
+        self.seed = seed
+        self.save_best_fn = save_best_fn
+        self._superstep = None
+
+        num_envs = train_collector.venv.num_envs
+        # steps per env per collect segment (reference counts total env steps)
+        self.segment_len = max(1, step_per_collect // num_envs)
+        self.steps_per_segment = self.segment_len * num_envs
+        self.updates_per_segment = max(
+            1, round(update_per_step * self.steps_per_segment)
+        )
+
+    # ------------------------------------------------------------------
+    def _build_superstep(self):
+        algo, buffer = self.algo, self.buffer
+        seg = rollout_segment(
+            algo,
+            self.train_collector.venv,
+            buffer,
+            self.segment_len,
+            explore=True,
+            record_traj=False,
+        )
+        n_updates, batch_size = self.updates_per_segment, self.batch_size
+
+        def superstep(ts, cstate, bstate, key, explore_param):
+            cstate, bstate, outputs = seg(ts, cstate, bstate, explore_param)
+
+            def upd(ts_c, k):
+                ts_c, metrics = algo.update(ts_c, buffer, bstate, k, batch_size)
+                return ts_c, metrics
+
+            keys = jax.random.split(key, n_updates)
+            ts, metrics = jax.lax.scan(upd, ts, keys)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            return ts, cstate, bstate, outputs, metrics
+
+        return jax.jit(superstep, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def run(self) -> InfoStats:
+        t_start = time.time()
+        rng = np.random.default_rng(self.seed)
+        key = jax.random.key(self.seed)
+        k_init, k_reset, key = jax.random.split(key, 3)
+
+        # init states
+        cstate = self.train_collector.reset(k_reset)
+        ts = self.algo.init(
+            k_init, jax.tree.map(lambda x: x[0], cstate.obs)
+        )
+        example = self.train_collector.example_transition(ts, cstate)
+        bstate = self.buffer.init(example)
+
+        env_step = 0
+        grad_step = 0
+        best_reward = -np.inf
+        best_reward_std = 0.0
+        last_metrics: dict = {}
+        train_time_collect = 0.0
+
+        # warm-up collection (reference start_timesteps, agent.py:129-136)
+        if self.warmup_steps > 0:
+            warm_len = max(
+                1, self.warmup_steps // self.train_collector.venv.num_envs
+            )
+            warm_param = 1.0 if self.warmup_random else 0.0
+            cstate, bstate, stats, _ = self.train_collector.collect(
+                ts, cstate, bstate, warm_len, explore=True, explore_param=warm_param
+            )
+            env_step += stats.n_collected_steps
+
+        if self._superstep is None:
+            self._superstep = self._build_superstep()
+
+        stop_triggered = False
+        epoch = 0
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            epoch_train_rets: list[np.ndarray] = []
+            while steps_this_epoch < self.step_per_epoch:
+                explore_param = float(self.train_param_fn(epoch, env_step))
+                key, k_step = jax.random.split(key)
+                t0 = time.time()
+                ts, cstate, bstate, outputs, metrics = self._superstep(
+                    ts, cstate, bstate, k_step, explore_param
+                )
+                jax.block_until_ready(ts.step)
+                train_time_collect += time.time() - t0
+                env_step += self.steps_per_segment
+                steps_this_epoch += self.steps_per_segment
+                grad_step += self.updates_per_segment
+                stats = Collector.summarize(outputs, self.steps_per_segment)
+                if stats.returns.size:
+                    epoch_train_rets.append(stats.returns)
+                last_metrics = {
+                    k: float(v) for k, v in metrics.items()
+                }
+                if self.logger is not None:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+
+            # test phase
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts,
+                k_test,
+                self.episode_per_test,
+                explore=False,
+                explore_param=self.test_param,
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+                if self.save_best_fn is not None:
+                    self.save_best_fn(ts)
+            if self.logger is not None:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
+        self.collect_state = cstate
+        self.buffer_state = bstate
+        duration = time.time() - t_start
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=duration,
+            train_time=train_time_collect,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
