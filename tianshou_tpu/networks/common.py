@@ -16,7 +16,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MLP", "QNet", "DuelingQNet", "RecurrentQNet", "EnsembleMLP", "BranchingQNet"]
+__all__ = [
+    "MLP",
+    "QNet",
+    "QNetEnsemble",
+    "DuelingQNet",
+    "RecurrentQNet",
+    "EnsembleMLP",
+    "BranchingQNet",
+]
 
 
 class MLP(nn.Module):
@@ -56,6 +64,26 @@ class QNet(nn.Module):
         return MLP(
             self.hidden_sizes, self.num_actions, activation=self.activation
         )(obs)
+
+
+class QNetEnsemble(nn.Module):
+    """K independent Q nets: obs -> [K, B, A] (DiscreteSAC twin critics)."""
+
+    hidden_sizes: Sequence[int]
+    num_actions: int
+    num_critics: int = 2
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        vq = nn.vmap(
+            QNet,
+            in_axes=None,
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            axis_size=self.num_critics,
+        )
+        return vq(self.hidden_sizes, self.num_actions)(obs)
 
 
 class DuelingQNet(nn.Module):

@@ -19,6 +19,7 @@ __all__ = [
     "DeterministicActor",
     "GaussianActor",
     "Critic",
+    "CriticEnsemble",
     "ValueNet",
     "Perturbation",
     "VAE",
@@ -83,6 +84,31 @@ class Critic(nn.Module):
             [obs.reshape(obs.shape[0], -1), act.reshape(act.shape[0], -1)], axis=-1
         )
         return MLP(self.hidden_sizes, 1)(x).squeeze(-1)
+
+
+class CriticEnsemble(nn.Module):
+    """K independent Q critics evaluated together: (obs, act) -> [K, B].
+
+    K=2 gives the twin critics of TD3/SAC; larger K serves REDQ.  The
+    ensemble axis becomes one batched matmul on the MXU via ``nn.vmap``
+    (replacing the reference's separate ``critic1``/``critic2`` modules and
+    ``EnsembleLinear``).
+    """
+
+    hidden_sizes: Sequence[int]
+    num_critics: int = 2
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, act: jax.Array) -> jax.Array:
+        vcritic = nn.vmap(
+            Critic,
+            in_axes=None,
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            axis_size=self.num_critics,
+        )
+        return vcritic(self.hidden_sizes)(obs, act)
 
 
 class ValueNet(nn.Module):

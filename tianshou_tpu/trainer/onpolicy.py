@@ -1,0 +1,182 @@
+"""On-policy trainer: fused (rollout -> process -> repeat x minibatch SGD).
+
+TPU-native counterpart of the reference ``OnpolicyTrainer``
+(``tianshou/trainer/base.py:647-694``): instead of writing the rollout into a
+replay buffer, passing the whole buffer to ``learn`` and then resetting it
+(``trainer/base.py:689``), the collect scan emits the trajectory directly as
+stacked ``[T, N, ...]`` arrays; advantage computation and the
+repeat x shuffled-minibatch SGD loops run in the same jitted super-step.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.algos.base import Algorithm, TrainState
+from tianshou_tpu.collect.collector import Collector, rollout_segment
+from tianshou_tpu.data.stats import InfoStats
+from tianshou_tpu.data.tree import tree_slice
+
+__all__ = ["OnPolicyTrainer"]
+
+
+class OnPolicyTrainer:
+    def __init__(
+        self,
+        algo: Algorithm,
+        train_collector: Collector,
+        test_collector: Collector,
+        *,
+        max_epoch: int,
+        step_per_epoch: int,
+        step_per_collect: int,
+        repeat_per_collect: int = 1,
+        batch_size: int = 64,
+        episode_per_test: int = 10,
+        stop_fn: Callable[[float], bool] | None = None,
+        logger: Any | None = None,
+        seed: int = 0,
+        save_best_fn: Callable[[TrainState], None] | None = None,
+    ):
+        self.algo = algo
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.max_epoch = max_epoch
+        self.step_per_epoch = step_per_epoch
+        self.repeat_per_collect = repeat_per_collect
+        self.batch_size = batch_size
+        self.episode_per_test = episode_per_test
+        self.stop_fn = stop_fn
+        self.logger = logger
+        self.seed = seed
+        self.save_best_fn = save_best_fn
+
+        num_envs = train_collector.venv.num_envs
+        self.segment_len = max(1, step_per_collect // num_envs)
+        self.steps_per_segment = self.segment_len * num_envs
+        self._superstep = None
+
+    # ------------------------------------------------------------------
+    def _build_superstep(self):
+        algo = self.algo
+        seg = rollout_segment(
+            algo,
+            self.train_collector.venv,
+            None,
+            self.segment_len,
+            explore=True,
+            record_traj=True,
+        )
+        M = self.steps_per_segment
+        bs = min(self.batch_size, M)
+        nmb = max(1, M // bs)
+        repeat = self.repeat_per_collect
+        recompute = getattr(algo, "recompute_advantage", False)
+
+        def superstep(ts, cstate, key):
+            cstate, _, outputs = seg(ts, cstate, None, 0.0)
+            traj = outputs["traj"]
+            processed0 = algo.process_rollout(ts, traj)
+
+            def repeat_body(carry, k):
+                ts = carry
+                processed = (
+                    algo.process_rollout(ts, traj) if recompute else processed0
+                )
+                k_perm, k_learn = jax.random.split(k)
+                perm = jax.random.permutation(k_perm, M)[: nmb * bs].reshape(
+                    nmb, bs
+                )
+
+                def mb_body(ts, idx):
+                    mb = tree_slice(processed, idx)
+                    return algo.learn(ts, mb, k_learn)
+
+                ts, metrics = jax.lax.scan(mb_body, ts, perm)
+                return ts, jax.tree.map(lambda m: m.mean(), metrics)
+
+            keys = jax.random.split(key, repeat)
+            ts, metrics = jax.lax.scan(repeat_body, ts, keys)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            return ts, cstate, outputs, metrics
+
+        return jax.jit(superstep)
+
+    # ------------------------------------------------------------------
+    def run(self) -> InfoStats:
+        t_start = time.time()
+        key = jax.random.key(self.seed)
+        k_init, k_reset, key = jax.random.split(key, 3)
+
+        cstate = self.train_collector.reset(k_reset)
+        ts = self.algo.init(k_init, jax.tree.map(lambda x: x[0], cstate.obs))
+
+        if self._superstep is None:
+            self._superstep = self._build_superstep()
+
+        env_step = 0
+        grad_step = 0
+        best_reward = -np.inf
+        best_reward_std = 0.0
+        last_metrics: dict = {}
+        stop_triggered = False
+        epoch = 0
+        updates_per_segment = self.repeat_per_collect * max(
+            1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
+        )
+
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            while steps_this_epoch < self.step_per_epoch:
+                key, k_step = jax.random.split(key)
+                ts, cstate, outputs, metrics = self._superstep(ts, cstate, k_step)
+                env_step += self.steps_per_segment
+                steps_this_epoch += self.steps_per_segment
+                grad_step += updates_per_segment
+                stats = Collector.summarize(outputs, self.steps_per_segment)
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if self.logger is not None:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts, k_test, self.episode_per_test, explore=False
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+                if self.save_best_fn is not None:
+                    self.save_best_fn(ts)
+            if self.logger is not None:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
+        self.collect_state = cstate
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=time.time() - t_start,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
