@@ -100,7 +100,10 @@ class Algorithm:
         bstate: ReplayBufferState,
         key: jax.Array,
         batch_size: int,
-    ) -> tuple[TrainState, dict[str, jax.Array]]:
+    ) -> tuple[TrainState, ReplayBufferState, dict[str, jax.Array]]:
+        """One gradient step: sample -> targets -> SGD.  Returns the (possibly
+        updated) buffer state so PER priority write-back (the reference's
+        ``post_process_fn``) stays functional."""
         raise NotImplementedError
 
     # -- learning (on-policy) ------------------------------------------------

@@ -142,9 +142,11 @@ class DDPG(Algorithm):
         bstate: ReplayBufferState,
         key: jax.Array,
         batch_size: int,
-    ) -> tuple[ACTrainState, dict[str, jax.Array]]:
+    ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
         k_sample, k_tgt = jax.random.split(key)
-        env_idx, pos = buffer.sample_indices(bstate, k_sample, batch_size)
+        env_idx, pos, weight = buffer.sample_with_weights(
+            bstate, k_sample, batch_size
+        )
         batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
         rew_chain, done_chain, term_pos = buffer.nstep_chain(
             bstate, env_idx, pos, self.n_step
@@ -158,11 +160,13 @@ class DDPG(Algorithm):
 
         def critic_loss_fn(cp):
             q = self.critic.apply(cp, batch["obs"], batch["act"])  # [K, B]
-            return ((q - target[None, :]) ** 2).mean(), q
+            td = q - target[None, :]
+            return (weight[None, :] * td**2).mean(), jnp.abs(td).mean(axis=0)
 
-        (closs, q), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+        (closs, td_abs), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
             ts.critic_params
         )
+        bstate = buffer.update_priorities(bstate, env_idx, pos, td_abs)
         updates, c_opt = self.critic_optim.update(
             grads, ts.critic_opt_state, ts.critic_params
         )
@@ -173,7 +177,7 @@ class DDPG(Algorithm):
         )
 
         ts, aloss = self._maybe_update_actor(ts, batch["obs"])
-        return ts, {"critic_loss": closs, "actor_loss": aloss}
+        return ts, bstate, {"critic_loss": closs, "actor_loss": aloss}
 
     def _maybe_update_actor(self, ts: ACTrainState, obs: jax.Array):
         return self._update_actor(ts, obs)

@@ -86,15 +86,15 @@ class DQN(Algorithm):
             q = q_t.max(axis=-1)
         return q * value_mask
 
-    def _loss(self, params, obs, act, target):
+    def _loss(self, params, obs, act, target, weight):
         q = jnp.take_along_axis(
             self.q_values(params, obs), act[:, None].astype(jnp.int32), axis=-1
         ).squeeze(-1)
         td = q - target
         if self.huber:
-            loss = optax.huber_loss(q, target).mean()
+            loss = (weight * optax.huber_loss(q, target)).mean()
         else:
-            loss = (td**2).mean()
+            loss = (weight * td**2).mean()
         return loss, jnp.abs(td)
 
     def update(
@@ -104,8 +104,8 @@ class DQN(Algorithm):
         bstate: ReplayBufferState,
         key: jax.Array,
         batch_size: int,
-    ) -> tuple[TrainState, dict[str, jax.Array]]:
-        env_idx, pos = buffer.sample_indices(bstate, key, batch_size)
+    ) -> tuple[TrainState, ReplayBufferState, dict[str, jax.Array]]:
+        env_idx, pos, weight = buffer.sample_with_weights(bstate, key, batch_size)
         batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
         rew_chain, done_chain, term_pos = buffer.nstep_chain(
             bstate, env_idx, pos, self.n_step
@@ -120,8 +120,9 @@ class DQN(Algorithm):
         target = jax.lax.stop_gradient(target)
 
         (loss, td_abs), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            ts.params, batch["obs"], batch["act"], target
+            ts.params, batch["obs"], batch["act"], target, weight
         )
+        bstate = buffer.update_priorities(bstate, env_idx, pos, td_abs)
         updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         step = ts.step + 1
@@ -135,4 +136,4 @@ class DQN(Algorithm):
         ts = ts.replace(
             params=params, target_params=target_params, opt_state=opt_state, step=step
         )
-        return ts, {"loss": loss, "td_abs_mean": td_abs.mean()}
+        return ts, bstate, {"loss": loss, "td_abs_mean": td_abs.mean()}

@@ -112,9 +112,11 @@ class SAC(Algorithm):
         bstate: ReplayBufferState,
         key: jax.Array,
         batch_size: int,
-    ) -> tuple[ACTrainState, dict[str, jax.Array]]:
+    ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
         k_sample, k_tgt, k_pi = jax.random.split(key, 3)
-        env_idx, pos = buffer.sample_indices(bstate, k_sample, batch_size)
+        env_idx, pos, weight = buffer.sample_with_weights(
+            bstate, k_sample, batch_size
+        )
         batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
         rew_chain, done_chain, term_pos = buffer.nstep_chain(
             bstate, env_idx, pos, self.n_step
@@ -137,9 +139,13 @@ class SAC(Algorithm):
 
         def critic_loss_fn(cp):
             q = self.critic.apply(cp, batch["obs"], batch["act"])
-            return ((q - target[None, :]) ** 2).mean()
+            td = q - target[None, :]
+            return (weight[None, :] * td**2).mean(), jnp.abs(td).mean(axis=0)
 
-        closs, grads = jax.value_and_grad(critic_loss_fn)(ts.critic_params)
+        (closs, td_abs), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+            ts.critic_params
+        )
+        bstate = buffer.update_priorities(bstate, env_idx, pos, td_abs)
         updates, c_opt = self.critic_optim.update(
             grads, ts.critic_opt_state, ts.critic_params
         )
@@ -182,7 +188,7 @@ class SAC(Algorithm):
             alpha_opt_state=al_opt,
             step=ts.step + 1,
         )
-        return ts, {
+        return ts, bstate, {
             "critic_loss": closs,
             "actor_loss": aloss,
             "alpha": jnp.exp(log_alpha),
@@ -254,7 +260,9 @@ class DiscreteSAC(Algorithm):
 
     def update(self, ts, buffer, bstate, key, batch_size):
         k_sample, _ = jax.random.split(key)
-        env_idx, pos = buffer.sample_indices(bstate, k_sample, batch_size)
+        env_idx, pos, weight = buffer.sample_with_weights(
+            bstate, k_sample, batch_size
+        )
         batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
         rew_chain, done_chain, term_pos = buffer.nstep_chain(
             bstate, env_idx, pos, self.n_step
@@ -282,9 +290,13 @@ class DiscreteSAC(Algorithm):
             q = jnp.take_along_axis(
                 q_all, act_idx[None, :, None], axis=-1
             ).squeeze(-1)
-            return ((q - target[None, :]) ** 2).mean()
+            td = q - target[None, :]
+            return (weight[None, :] * td**2).mean(), jnp.abs(td).mean(axis=0)
 
-        closs, grads = jax.value_and_grad(critic_loss_fn)(ts.critic_params)
+        (closs, td_abs), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+            ts.critic_params
+        )
+        bstate = buffer.update_priorities(bstate, env_idx, pos, td_abs)
         updates, c_opt = self.critic_optim.update(
             grads, ts.critic_opt_state, ts.critic_params
         )
@@ -333,7 +345,7 @@ class DiscreteSAC(Algorithm):
             alpha_opt_state=al_opt,
             step=ts.step + 1,
         )
-        return ts, {
+        return ts, bstate, {
             "critic_loss": closs,
             "actor_loss": aloss,
             "alpha": jnp.exp(log_alpha),

@@ -177,6 +177,27 @@ class ReplayBuffer:
         env_idx, pos = self.sample_indices(state, key, batch_size)
         return self.get(state, env_idx, pos), env_idx, pos
 
+    # -- prioritization hooks (overridden by PrioritizedReplayBuffer) ------
+    def sample_with_weights(
+        self, state: ReplayBufferState, key: jax.Array, batch_size: int
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Uniform sampling: importance weights are all ones.  The PER
+        subclass returns proportional indices + IS weights, letting
+        algorithms stay agnostic (the reference threads this through
+        ``process_fn``/``post_process_fn``, ``policy/base.py:480-502``)."""
+        env_idx, pos = self.sample_indices(state, key, batch_size)
+        return env_idx, pos, jnp.ones((batch_size,), jnp.float32)
+
+    def update_priorities(
+        self,
+        state: ReplayBufferState,
+        env_idx: jax.Array,
+        pos: jax.Array,
+        td_abs: jax.Array,
+    ) -> ReplayBufferState:
+        """No-op for uniform replay; PER overrides with sum-tree write-back."""
+        return state
+
     # -- n-step chains -----------------------------------------------------
     def nstep_chain(
         self,

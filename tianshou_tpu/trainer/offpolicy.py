@@ -96,12 +96,13 @@ class OffPolicyTrainer:
         def superstep(ts, cstate, bstate, key, explore_param):
             cstate, bstate, outputs = seg(ts, cstate, bstate, explore_param)
 
-            def upd(ts_c, k):
-                ts_c, metrics = algo.update(ts_c, buffer, bstate, k, batch_size)
-                return ts_c, metrics
+            def upd(carry, k):
+                ts_c, bst = carry
+                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
+                return (ts_c, bst), metrics
 
             keys = jax.random.split(key, n_updates)
-            ts, metrics = jax.lax.scan(upd, ts, keys)
+            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
             metrics = jax.tree.map(lambda m: m.mean(), metrics)
             return ts, cstate, bstate, outputs, metrics
 
