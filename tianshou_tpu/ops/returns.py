@@ -20,7 +20,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gae_advantages", "nstep_return", "discounted_returns"]
+__all__ = [
+    "gae_advantages",
+    "nstep_return",
+    "nstep_return_components",
+    "discounted_returns",
+]
 
 
 def gae_advantages(
@@ -107,8 +112,24 @@ def nstep_return(
     chain's final state, i.e. ``mask * max_a Q_target(s_{t+n}, a)`` or the
     target critic value.
     """
+    returns, discount = nstep_return_components(
+        rew_chain, done_chain, gamma, dtype=q_terminal.dtype
+    )
+    return q_terminal * discount + returns
+
+
+def nstep_return_components(
+    rew_chain: jax.Array,
+    done_chain: jax.Array,
+    gamma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Decomposed n-step target: ``(accumulated_returns [B],
+    bootstrap_discount [B])`` with ``target = q_terminal * discount +
+    returns``.  Exposed separately so distributional targets (C51 support
+    projection, quantile targets) can shift whole value distributions:
+    ``Tz_j = returns + discount * z_j``."""
     bsz, n = rew_chain.shape
-    dtype = q_terminal.dtype
     returns = jnp.zeros((bsz,), dtype)
     gammas = jnp.full((bsz,), n, dtype=jnp.int32)
     for k in range(n - 1, -1, -1):
@@ -116,6 +137,5 @@ def nstep_return(
         gammas = jnp.where(dk, k + 1, gammas)
         returns = jnp.where(dk, 0.0, returns)
         returns = rew_chain[:, k].astype(dtype) + gamma * returns
-    return q_terminal * jnp.power(
-        jnp.asarray(gamma, dtype), gammas.astype(dtype)
-    ) + returns
+    discount = jnp.power(jnp.asarray(gamma, dtype), gammas.astype(dtype))
+    return returns, discount
