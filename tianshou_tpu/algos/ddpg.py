@@ -110,13 +110,17 @@ class DDPG(Algorithm):
         q = self.critic.apply(ts.target_critic_params, obs_next, a_next)
         return q.min(axis=0) * value_mask
 
+    def _actor_loss(self, ts: ACTrainState, actor_params, batch) -> jax.Array:
+        obs = batch["obs"]
+        a = self.actor.apply(actor_params, obs)
+        q = self.critic.apply(ts.critic_params, obs, a)[0]
+        return -q.mean()
+
     def _update_actor(
-        self, ts: ACTrainState, obs: jax.Array
+        self, ts: ACTrainState, batch
     ) -> tuple[ACTrainState, jax.Array]:
         def actor_loss_fn(ap):
-            a = self.actor.apply(ap, obs)
-            q = self.critic.apply(ts.critic_params, obs, a)[0]
-            return -q.mean()
+            return self._actor_loss(ts, ap, batch)
 
         loss, grads = jax.value_and_grad(actor_loss_fn)(ts.actor_params)
         updates, opt_state = self.actor_optim.update(
@@ -176,11 +180,11 @@ class DDPG(Algorithm):
             step=ts.step + 1,
         )
 
-        ts, aloss = self._maybe_update_actor(ts, batch["obs"])
+        ts, aloss = self._maybe_update_actor(ts, batch)
         return ts, bstate, {"critic_loss": closs, "actor_loss": aloss}
 
-    def _maybe_update_actor(self, ts: ACTrainState, obs: jax.Array):
-        return self._update_actor(ts, obs)
+    def _maybe_update_actor(self, ts: ACTrainState, batch):
+        return self._update_actor(ts, batch)
 
 
 class TD3(DDPG):
@@ -212,9 +216,9 @@ class TD3(DDPG):
         )
         return jnp.clip(a + noise, -1.0, 1.0)
 
-    def _maybe_update_actor(self, ts: ACTrainState, obs: jax.Array):
+    def _maybe_update_actor(self, ts: ACTrainState, batch):
         def do_update(ts):
-            return self._update_actor(ts, obs)
+            return self._update_actor(ts, batch)
 
         def skip(ts):
             return ts, jnp.zeros(())

@@ -79,9 +79,15 @@ class OnPolicyTrainer:
         repeat = self.repeat_per_collect
         recompute = getattr(algo, "recompute_advantage", False)
 
+        has_pre_learn = hasattr(algo, "pre_learn")
+
         def superstep(ts, cstate, key):
             cstate, _, outputs = seg(ts, cstate, None, 0.0)
             traj = outputs["traj"]
+            pre_metrics = {}
+            if has_pre_learn:
+                key, k_pre = jax.random.split(key)
+                ts, pre_metrics = algo.pre_learn(ts, traj, k_pre)
             processed0 = algo.process_rollout(ts, traj)
 
             def repeat_body(carry, k):
@@ -104,6 +110,7 @@ class OnPolicyTrainer:
             keys = jax.random.split(key, repeat)
             ts, metrics = jax.lax.scan(repeat_body, ts, keys)
             metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            metrics.update(pre_metrics)
             return ts, cstate, outputs, metrics
 
         return jax.jit(superstep)
