@@ -25,7 +25,8 @@ from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
 from tianshou_tpu.trainer.onpolicy import OnPolicyTrainer
 
 
-def _run_onpolicy(algo, env, threshold, repeat, max_epoch=8, step_per_epoch=30000):
+def _run_onpolicy(algo, env, threshold, repeat, max_epoch=8, step_per_epoch=30000,
+                  batch_size=256, seed=0):
     trainer = OnPolicyTrainer(
         algo,
         Collector(algo, VectorEnv(env, 16)),
@@ -34,10 +35,10 @@ def _run_onpolicy(algo, env, threshold, repeat, max_epoch=8, step_per_epoch=3000
         step_per_epoch=step_per_epoch,
         step_per_collect=2048,
         repeat_per_collect=repeat,
-        batch_size=256,
+        batch_size=batch_size,
         episode_per_test=10,
         stop_fn=lambda rew: rew >= threshold,
-        seed=0,
+        seed=seed,
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
@@ -153,3 +154,38 @@ def test_ddpg_pendulum():
         exploration_noise=0.1,
     )
     _run_offpolicy(algo, env, -250)
+
+
+def test_npg_pendulum():
+    from tianshou_tpu.algos.npg import NPG
+
+    env = Pendulum()
+    algo = NPG(
+        GaussianActor((64, 64), 1),
+        ValueNet((64, 64)),
+        env.action_space,
+        critic_lr=1e-3,
+        gamma=0.95,
+        gae_lambda=0.95,
+        optim_critic_iters=5,
+        trust_region_size=0.3,
+    )
+    _run_onpolicy(algo, env, -250, repeat=2, max_epoch=10, batch_size=2048, seed=0)
+
+
+def test_trpo_pendulum():
+    from tianshou_tpu.algos.npg import TRPO
+
+    env = Pendulum()
+    algo = TRPO(
+        GaussianActor((64, 64), 1),
+        ValueNet((64, 64)),
+        env.action_space,
+        critic_lr=1e-3,
+        gamma=0.95,
+        gae_lambda=0.95,
+        optim_critic_iters=5,
+        max_kl=0.01,
+        backtrack_coeff=0.8,
+    )
+    _run_onpolicy(algo, env, -250, repeat=2, max_epoch=10, batch_size=2048)

@@ -1,0 +1,161 @@
+"""Tests for loggers, statistics utilities, obs-norm env, noise, and REDQ
+(the reference's ``test_utils.py`` / ``test_logger.py`` analogs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.envs.classic import Pendulum
+from tianshou_tpu.envs.norm import NormObsVectorEnv
+from tianshou_tpu.exploration.noise import GaussianNoise, OUNoise
+from tianshou_tpu.utils.logger import (
+    DataScope,
+    LazyLogger,
+    TensorboardLogger,
+)
+from tianshou_tpu.utils.statistics import (
+    MovAvg,
+    RunningMeanStd,
+    rms_init,
+    rms_normalize,
+    rms_update,
+)
+
+
+def test_movavg():
+    m = MovAvg(size=3)
+    m.add(1.0)
+    m.add([2.0, 3.0])
+    assert m.get() == 2.0
+    m.add(np.inf)  # filtered
+    assert m.get() == 2.0
+    m.add(4.0)  # window slides: [2, 3, 4]
+    assert m.get() == 3.0
+
+
+def test_running_mean_std_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.normal(3.0, 2.0, size=(1000, 4))
+    rms = RunningMeanStd()
+    for chunk in np.split(data, 10):
+        rms.update(chunk)
+    np.testing.assert_allclose(rms.mean, data.mean(0), atol=1e-6)
+    np.testing.assert_allclose(rms.var, data.var(0), atol=1e-6)
+
+
+def test_device_rms_matches_numpy():
+    rng = np.random.default_rng(1)
+    data = rng.normal(-1.0, 0.5, size=(256, 3)).astype(np.float32)
+    st = rms_init((3,))
+    for chunk in np.split(data, 4):
+        st = rms_update(st, jnp.asarray(chunk))
+    np.testing.assert_allclose(np.asarray(st.mean), data.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st.var), data.var(0), atol=1e-3)
+    normed = rms_normalize(st, jnp.asarray(data))
+    assert abs(float(normed.mean())) < 0.1
+
+
+def test_norm_obs_env_standardizes():
+    venv = NormObsVectorEnv(Pendulum(), num_envs=8, update_rms=True)
+    state, obs = venv.reset(jax.random.key(0))
+    all_obs = [np.asarray(obs)]
+    for i in range(50):
+        act = jnp.zeros((8, 1))
+        state, res, carry = venv.step(state, act, jax.random.key(i))
+        all_obs.append(np.asarray(res.obs))
+    stacked = np.concatenate(all_obs)
+    # normalized obs roughly standardized
+    assert np.all(np.abs(stacked.mean(0)) < 1.0)
+    assert np.all(stacked.std(0) < 3.0)
+    # rms transfer helpers
+    rms = NormObsVectorEnv.get_rms(state)
+    state2 = NormObsVectorEnv.with_rms(state, rms)
+    assert state2[1] is rms
+
+
+def test_tensorboard_logger_roundtrip(tmp_path):
+    logger = TensorboardLogger(str(tmp_path), train_interval=1)
+    logger.log_train_data({"returns_mean": 1.5, "nested": {"x": 2.0}}, 10)
+    logger.save_data(3, 1000, 50)
+    logger.finalize()
+    logger2 = TensorboardLogger(str(tmp_path))
+    epoch, env_step, grad_step = logger2.restore_data()
+    assert (epoch, env_step, grad_step) == (3, 1000, 50)
+    data = logger2.restore_logged_data()
+    assert "train/returns_mean" in data
+    assert data["train/returns_mean"][0] == (10, 1.5)
+    assert "train/nested/x" in data
+
+
+def test_lazy_logger_and_intervals():
+    logger = LazyLogger()
+    logger.log_train_data({"x": 1}, 0)  # no-op, must not raise
+    from tianshou_tpu.utils.logger import BaseLogger
+
+    writes = []
+
+    class Rec(BaseLogger):
+        def write(self, step, data):
+            writes.append(step)
+
+    r = Rec(train_interval=100)
+    r.log_train_data({"x": 1}, 0)  # 0 - (-1) < 100: skipped
+    r.log_train_data({"x": 1}, 120)  # 121 >= 100: written
+    r.log_train_data({"x": 1}, 150)  # 30 < 100: skipped
+    r.log_train_data({"x": 1}, 240)
+    assert writes == [120, 240]
+
+
+def test_noise_processes():
+    g = GaussianNoise(sigma=2.0)
+    st = g.init_state((4,))
+    st, n = g.sample(st, jax.random.key(0), (1000,))
+    assert 1.5 < float(jnp.std(n)) < 2.5
+    ou = OUNoise(sigma=0.3, theta=0.15)
+    st = ou.init_state((4,))
+    vals = []
+    for i in range(100):
+        st, n = ou.sample(st, jax.random.key(i))
+        vals.append(np.asarray(n))
+    # mean-reverting around 0, temporally correlated
+    arr = np.stack(vals)
+    assert abs(arr.mean()) < 0.5
+    corr = np.corrcoef(arr[:-1, 0], arr[1:, 0])[0, 1]
+    assert corr > 0.5
+
+
+def test_redq_pendulum():
+    from tianshou_tpu.algos.redq import REDQ
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = Pendulum()
+    algo = REDQ(
+        actor=GaussianActor((128, 128), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((128, 128), num_critics=10),
+        action_space=env.action_space,
+        ensemble_size=10,
+        subset_size=2,
+        actor_delay=20,
+        auto_alpha=True,
+    )
+    buffer = ReplayBuffer(capacity=2000, num_envs=10)
+    trainer = OffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 10), buffer),
+        Collector(algo, VectorEnv(env, 10)),
+        buffer,
+        max_epoch=8,
+        step_per_epoch=6000,
+        step_per_collect=100,
+        update_per_step=0.25,
+        batch_size=256,
+        stop_fn=lambda rew: rew >= -250,
+        warmup_steps=1000,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered, f"best={info.best_reward}"

@@ -40,6 +40,7 @@ class A2C(PG):
         ent_coef: float = 0.01,
         max_grad_norm: float | None = None,
         adv_norm: bool = False,
+        ret_norm: bool = False,
         deterministic_eval: bool = True,
         optimizer: optax.GradientTransformation | None = None,
     ):
@@ -57,6 +58,7 @@ class A2C(PG):
         self.gae_lambda = gae_lambda
         self.vf_coef = vf_coef
         self.adv_norm = adv_norm
+        self.ret_norm = ret_norm
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, obs_example: Any) -> TrainState:
@@ -87,6 +89,14 @@ class A2C(PG):
             traj["rew"], v, v_next, traj["terminated"], done,
             self.gamma, self.gae_lambda,
         )
+        if self.ret_norm:
+            # scale-only normalization of value targets: divide by the
+            # return std WITHOUT subtracting the mean (the reference's
+            # deliberate rew_norm detail, ``a2c.py:132-139``); per-rollout
+            # std stands in for the reference's running statistics
+            scale = ret.std() + 1e-8
+            ret = ret / scale
+            adv = adv / scale
         out = Batch(
             obs=traj["obs"],
             act=traj["act"],

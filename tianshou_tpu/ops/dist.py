@@ -23,6 +23,8 @@ __all__ = [
     "categorical_sample",
     "categorical_log_prob",
     "categorical_entropy",
+    "kl_normal",
+    "kl_categorical",
 ]
 
 _LOG_2PI = jnp.log(2.0 * jnp.pi)
@@ -76,3 +78,21 @@ def categorical_log_prob(act: jax.Array, logits: jax.Array) -> jax.Array:
 def categorical_entropy(logits: jax.Array) -> jax.Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -(jnp.exp(logp) * logp).sum(axis=-1)
+
+
+def kl_normal(
+    mu_p: jax.Array, sigma_p: jax.Array, mu_q: jax.Array, sigma_q: jax.Array
+) -> jax.Array:
+    """KL(p || q) for diagonal Gaussians, summed over the action dim."""
+    var_ratio = (sigma_p / sigma_q) ** 2
+    t = ((mu_p - mu_q) / sigma_q) ** 2
+    return (0.5 * (var_ratio + t - 1.0) - jnp.log(jnp.sqrt(var_ratio))).sum(
+        axis=-1
+    )
+
+
+def kl_categorical(logits_p: jax.Array, logits_q: jax.Array) -> jax.Array:
+    """KL(p || q) between categorical distributions given logits."""
+    logp = jax.nn.log_softmax(logits_p, axis=-1)
+    logq = jax.nn.log_softmax(logits_q, axis=-1)
+    return (jnp.exp(logp) * (logp - logq)).sum(axis=-1)
