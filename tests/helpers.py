@@ -43,3 +43,50 @@ class MoveToRight(JaxEnv):
         truncated = (new.t >= self.max_t) & ~terminated
         reward = jnp.where(terminated, 1.0, 0.0).astype(jnp.float32)
         return new, StepResult(self._obs(new), reward, terminated, truncated)
+
+
+class GoalState(NamedTuple):
+    pos: jax.Array
+    goal: jax.Array
+    t: jax.Array
+
+
+class GoalReachEnv(JaxEnv):
+    """Sparse-reward 1-D goal reaching (the analog of the reference's
+    ``MyGoalEnv`` HER fixture, ``test/base/env.py:207-246``): obs is
+    ``[pos, achieved(=pos), desired(=goal)]``; reward -1 until the goal is
+    reached (then 0, terminated)."""
+
+    SIZE = 8.0
+    TOL = 0.5
+    MAX_T = 16
+
+    observation_space = Box(low=-10.0, high=10.0, shape=(3,))
+    action_space = Box(low=-1.0, high=1.0, shape=(1,))
+
+    def reset(self, key: jax.Array):
+        goal = jax.random.uniform(key, (), minval=1.0, maxval=self.SIZE)
+        state = GoalState(jnp.zeros(()), goal, jnp.zeros((), jnp.int32))
+        return state, self._obs(state)
+
+    @staticmethod
+    def _obs(s: GoalState) -> jax.Array:
+        return jnp.stack([s.pos, s.pos, s.goal]).astype(jnp.float32)
+
+    def step(self, state: GoalState, action: jax.Array):
+        pos = jnp.clip(state.pos + action.reshape(()), 0.0, self.SIZE)
+        new = GoalState(pos, state.goal, state.t + 1)
+        reached = jnp.abs(pos - state.goal) <= self.TOL
+        reward = jnp.where(reached, 0.0, -1.0).astype(jnp.float32)
+        return new, StepResult(
+            obs=self._obs(new),
+            reward=reward,
+            terminated=reached,
+            truncated=(new.t >= self.MAX_T) & ~reached,
+        )
+
+    @staticmethod
+    def compute_reward(achieved: jax.Array, desired: jax.Array) -> jax.Array:
+        return jnp.where(
+            jnp.abs(achieved[:, 0] - desired[:, 0]) <= GoalReachEnv.TOL, 0.0, -1.0
+        )

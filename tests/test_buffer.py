@@ -153,3 +153,62 @@ def test_buffer_ops_inside_jit():
     st, batch = fill_and_sample(st, jax.random.key(1))
     assert int(st.size[0]) == 10
     assert np.asarray(batch["obs"]).shape == (32, 2)
+
+
+def test_her_rewrite_semantics():
+    """HER 'future' rewrite: rewritten goals come from within the same
+    episode, and rewards are recomputed consistently."""
+    import jax
+    import jax.numpy as jnp
+    from tests.helpers import GoalReachEnv
+    from tianshou_tpu.data.her import HERReplayBuffer
+
+    buf = HERReplayBuffer(
+        capacity=64,
+        num_envs=1,
+        compute_reward_fn=GoalReachEnv.compute_reward,
+        achieved_slice=(1, 2),
+        desired_slice=(2, 3),
+        horizon=8,
+        future_k=1e9,  # always rewrite
+    )
+    # hand-build two episodes: positions 0..4 (ep 1, terminated), 0..2 (ep 2)
+    ex = Batch(
+        obs=np.zeros(3, np.float32), act=np.zeros(1, np.float32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros(3, np.float32),
+    )
+    st = buf.init(ex)
+    goal = 99.0  # unreachable original goal
+    for ep_len in (5, 3):
+        for i in range(ep_len):
+            tr = Batch(
+                obs=np.asarray([[i, i, goal]], np.float32),
+                act=np.ones((1, 1), np.float32),
+                rew=np.full((1,), -1.0, np.float32),
+                terminated=np.asarray([i == ep_len - 1]),
+                truncated=np.zeros(1, bool),
+                obs_next=np.asarray([[i + 1, i + 1, goal]], np.float32),
+            )
+            st = buf.add(st, tr.to_jax())
+
+    env_idx, pos, w, batch = buf.sample_her(st, jax.random.key(0), 256)
+    obs = np.asarray(batch["obs"])
+    obs_next = np.asarray(batch["obs_next"])
+    rew = np.asarray(batch["rew"])
+    pos_np = np.asarray(pos)
+    # rewritten desired goals must be achieved goals from the SAME episode
+    # (future): for episode-1 samples (pos 0..4) goals in 1..5; for
+    # episode-2 samples (pos 5..7) goals in 6..8
+    ep1 = pos_np < 5
+    assert np.all(obs[ep1, 2] <= 5) and np.all(obs[ep1, 2] >= 1)
+    # episode 2 replays positions 0..2, so its achieved goals are 1..3
+    assert np.all(obs[~ep1, 2] >= 1) and np.all(obs[~ep1, 2] <= 3)
+    # future goal is >= this transition's next achieved position
+    assert np.all(obs[:, 2] >= obs_next[:, 1] - 1e-6)
+    # reward recomputation: 0 exactly when achieved(next) == desired
+    np.testing.assert_array_equal(
+        rew == 0.0, np.abs(obs_next[:, 1] - obs[:, 2]) <= 0.5
+    )
+    # obs and obs_next carry the same rewritten goal
+    np.testing.assert_allclose(obs[:, 2], obs_next[:, 2])

@@ -159,3 +159,49 @@ def test_redq_pendulum():
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_her_ddpg_goal_reach():
+    """Sparse-reward goal task solvable with HER (the analog of the
+    reference's HER tests over MyGoalEnv)."""
+    from tests.helpers import GoalReachEnv
+    from tianshou_tpu.algos.ddpg import DDPG
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.her import HERReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.networks.continuous import CriticEnsemble, DeterministicActor
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = GoalReachEnv()
+    algo = DDPG(
+        actor=DeterministicActor((128, 128), 1),
+        critic=CriticEnsemble((128, 128), num_critics=1),
+        action_space=env.action_space,
+        gamma=0.95,
+        exploration_noise=0.25,
+    )
+    buffer = HERReplayBuffer(
+        capacity=4000,
+        num_envs=10,
+        compute_reward_fn=GoalReachEnv.compute_reward,
+        achieved_slice=(1, 2),
+        desired_slice=(2, 3),
+        horizon=16,
+        future_k=8.0,
+    )
+    trainer = OffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 10), buffer),
+        Collector(algo, VectorEnv(env, 10)),
+        buffer,
+        max_epoch=6,
+        step_per_epoch=5000,
+        step_per_collect=100,
+        update_per_step=0.125,
+        batch_size=256,
+        stop_fn=lambda rew: rew >= -9,
+        warmup_steps=2000,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered, f"best={info.best_reward}"

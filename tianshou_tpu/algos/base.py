@@ -92,6 +92,42 @@ class Algorithm:
         act = jnp.clip(act, -1.0, 1.0)
         return lo + (act + 1.0) * 0.5 * (hi - lo)
 
+    # -- shared off-policy sampling ----------------------------------------
+    def _sample_nstep(
+        self,
+        buffer: ReplayBuffer,
+        bstate: ReplayBufferState,
+        key: jax.Array,
+        batch_size: int,
+        n_step: int,
+    ):
+        """Sample + gather the n-step structure every off-policy update
+        needs: ``(env_idx, pos, weight, batch{obs,act}, rew_chain [B,n],
+        done_chain [B,n], term{obs_next, terminated})``.
+
+        Dispatches on HER buffers (hindsight goal rewrite happens here, so
+        algorithms stay goal-agnostic; requires ``n_step == 1``)."""
+        from tianshou_tpu.data.her import HERReplayBuffer
+
+        if isinstance(buffer, HERReplayBuffer):
+            assert n_step == 1, "HER supports 1-step targets"
+            env_idx, pos, weight, b = buffer.sample_her(bstate, key, batch_size)
+            rew_chain = b["rew"][:, None]
+            done_chain = (b["terminated"] | b["truncated"]).astype(jnp.int32)[
+                :, None
+            ]
+            term = Batch(obs_next=b["obs_next"], terminated=b["terminated"])
+            return env_idx, pos, weight, b, rew_chain, done_chain, term
+        env_idx, pos, weight = buffer.sample_with_weights(bstate, key, batch_size)
+        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
+        rew_chain, done_chain, term_pos = buffer.nstep_chain(
+            bstate, env_idx, pos, n_step
+        )
+        term = buffer.get(
+            bstate, env_idx, term_pos, keys=("obs_next", "terminated")
+        )
+        return env_idx, pos, weight, batch, rew_chain, done_chain, term
+
     # -- learning (off-policy / offline) ------------------------------------
     def update(
         self,

@@ -148,14 +148,9 @@ class DDPG(Algorithm):
         batch_size: int,
     ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
         k_sample, k_tgt = jax.random.split(key)
-        env_idx, pos, weight = buffer.sample_with_weights(
-            bstate, k_sample, batch_size
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = (
+            self._sample_nstep(buffer, bstate, k_sample, batch_size, self.n_step)
         )
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         q_term = self._target_q(ts, term["obs_next"], mask, k_tgt)
         target = jax.lax.stop_gradient(

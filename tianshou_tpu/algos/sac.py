@@ -114,14 +114,9 @@ class SAC(Algorithm):
         batch_size: int,
     ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
         k_sample, k_tgt, k_pi = jax.random.split(key, 3)
-        env_idx, pos, weight = buffer.sample_with_weights(
-            bstate, k_sample, batch_size
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = (
+            self._sample_nstep(buffer, bstate, k_sample, batch_size, self.n_step)
         )
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         alpha = jnp.exp(ts.log_alpha)
 
