@@ -1,0 +1,86 @@
+"""Host gymnasium bridge tests: venv semantics + DQN training through the
+host collector (the analog of the reference's subproc-venv collector tests)."""
+
+import jax
+import numpy as np
+import pytest
+
+gym = pytest.importorskip("gymnasium")
+
+from tianshou_tpu.algos.dqn import DQN
+from tianshou_tpu.collect.host_collector import HostCollector
+from tianshou_tpu.data.buffer import ReplayBuffer
+from tianshou_tpu.envs.host import HostVectorEnv, NormObsHostVectorEnv
+from tianshou_tpu.envs.spaces import Discrete
+from tianshou_tpu.networks.common import QNet
+from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+
+def _make():
+    return gym.make("CartPole-v1")
+
+
+def test_host_venv_step_and_autoreset():
+    venv = HostVectorEnv([_make for _ in range(4)])
+    assert venv.num_envs == 4
+    assert isinstance(venv.action_space, Discrete)
+    obs = venv.reset(seed=0)
+    assert obs.shape == (4, 4)
+    done_seen = False
+    for _ in range(300):
+        res, carry = venv.step(np.ones(4, np.int64))
+        done = res.terminated | res.truncated
+        if done.any():
+            done_seen = True
+            j = int(np.nonzero(done)[0][0])
+            # carry obs is a reset obs (tight init bounds)
+            assert np.all(np.abs(carry[j]) <= 0.05 + 1e-6)
+            break
+    assert done_seen
+    venv.close()
+
+
+def test_host_norm_obs_env():
+    venv = NormObsHostVectorEnv([_make for _ in range(4)])
+    obs = venv.reset(seed=0)
+    for _ in range(20):
+        res, carry = venv.step(np.random.randint(0, 2, size=4))
+    assert venv.rms.count > 50
+    venv2 = NormObsHostVectorEnv([_make for _ in range(2)], update_rms=False)
+    venv2.set_rms(venv.get_rms())
+    assert venv2.rms.count == venv.rms.count
+    venv.close()
+    venv2.close()
+
+
+def test_host_dqn_cartpole_learns():
+    env = _make()
+    algo = DQN(
+        network=QNet((128, 128, 128), 2),
+        action_space=Discrete(2),
+        gamma=0.9,
+        n_step=3,
+        target_update_freq=320,
+    )
+    buffer = ReplayBuffer(capacity=2000, num_envs=8)
+    train_venv = HostVectorEnv([_make for _ in range(8)])
+    test_venv = HostVectorEnv([_make for _ in range(8)])
+    trainer = OffPolicyTrainer(
+        algo,
+        HostCollector(algo, train_venv, buffer),
+        HostCollector(algo, test_venv),
+        buffer,
+        max_epoch=4,
+        step_per_epoch=10000,
+        step_per_collect=80,
+        update_per_step=0.1,
+        batch_size=64,
+        train_param_fn=lambda e, s: 0.1,
+        stop_fn=lambda rew: rew >= 195,
+        warmup_steps=1000,
+        seed=0,
+    )
+    info = trainer.run()
+    train_venv.close()
+    test_venv.close()
+    assert info.stop_triggered, f"best={info.best_reward}"

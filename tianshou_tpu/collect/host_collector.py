@@ -1,0 +1,158 @@
+"""Collector for host-process (gymnasium) environments.
+
+The host analog of the jitted Collector: the policy's act function runs
+jit-compiled on device over the batched observations while env stepping runs
+in the host thread pool; collected segments are buffered as numpy on the
+host and written to the device ring buffer in ONE ``add_trajectory`` call
+per segment (amortizing host->device transfer, the role the reference's
+shared-memory pipes + ``EnvPool`` play, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.algos.base import Algorithm, TrainState
+from tianshou_tpu.collect.collector import CollectStats
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer import ReplayBuffer, ReplayBufferState
+from tianshou_tpu.envs.host import HostVectorEnv
+
+__all__ = ["HostCollector"]
+
+
+class HostCollector:
+    is_host_collector = True
+
+    def __init__(
+        self,
+        algo: Algorithm,
+        venv: HostVectorEnv,
+        buffer: ReplayBuffer | None = None,
+    ):
+        self.algo = algo
+        self.venv = venv
+        self.buffer = buffer
+        self.obs: np.ndarray | None = None
+        self.ep_ret = np.zeros(venv.num_envs)
+        self.ep_len = np.zeros(venv.num_envs, np.int64)
+        self._act_fns: dict = {}
+
+    def _act_fn(self, explore: bool):
+        if explore not in self._act_fns:
+            algo = self.algo
+
+            @partial(jax.jit, static_argnames=())
+            def act(ts, obs, key, explore_param):
+                a, extras = algo.act(ts, obs, key, explore, explore_param)
+                return a, algo.map_action(a), extras
+
+            self._act_fns[explore] = act
+        return self._act_fns[explore]
+
+    def reset(self, seed: int = 0) -> None:
+        self.obs = self.venv.reset(seed)
+        self.ep_ret[:] = 0
+        self.ep_len[:] = 0
+
+    # ------------------------------------------------------------------
+    def collect(
+        self,
+        ts: TrainState,
+        bstate: ReplayBufferState | None,
+        num_steps: int,
+        key: jax.Array,
+        explore: bool = True,
+        explore_param: float = 0.0,
+        record_traj: bool = False,
+    ):
+        """Collect ``num_steps`` steps per env.  Returns
+        ``(bstate, stats, traj_or_None)``."""
+        assert self.obs is not None, "call reset() first"
+        act_fn = self._act_fn(explore)
+        steps: list[Batch] = []
+        returns, lens = [], []
+        for t in range(num_steps):
+            key, k_act = jax.random.split(key)
+            raw_act, env_act, extras = act_fn(
+                ts, jnp.asarray(self.obs), k_act, explore_param
+            )
+            env_act_np = np.asarray(env_act)
+            res, carry = self.venv.step(env_act_np)
+            done = res.terminated | res.truncated
+            self.ep_ret += res.reward
+            self.ep_len += 1
+            tr = Batch(
+                obs=self.obs,
+                act=np.asarray(raw_act),
+                rew=res.reward,
+                terminated=res.terminated,
+                truncated=res.truncated,
+                obs_next=res.obs,
+            )
+            if not extras.is_empty():
+                tr["policy"] = jax.tree.map(np.asarray, extras)
+            steps.append(tr)
+            if done.any():
+                returns.extend(self.ep_ret[done].tolist())
+                lens.extend(self.ep_len[done].tolist())
+                self.ep_ret[done] = 0
+                self.ep_len[done] = 0
+            self.obs = carry
+        traj = Batch.stack(steps)  # [T, N, ...] numpy
+        if self.buffer is not None and bstate is not None:
+            bstate = self.buffer.add_trajectory(bstate, traj.to_jax())
+        stats = CollectStats(
+            n_collected_steps=num_steps * self.venv.num_envs,
+            n_collected_episodes=len(returns),
+            returns=np.asarray(returns),
+            lens=np.asarray(lens, np.int64),
+        )
+        return bstate, stats, (traj if record_traj else None)
+
+    def collect_episodes(
+        self,
+        ts: TrainState,
+        key: jax.Array,
+        n_episode: int,
+        explore: bool = False,
+        explore_param: float = 0.0,
+        max_steps: int = 100_000,
+    ) -> CollectStats:
+        """Collect exactly ``n_episode`` episodes with per-env quota
+        fairness (``collector.py:606-624``)."""
+        n = self.venv.num_envs
+        quota = np.full(n, n_episode // n, np.int64)
+        quota[: n_episode % n] += 1
+        self.reset(seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        act_fn = self._act_fn(explore)
+        counts = np.zeros(n, np.int64)
+        returns, lens = [], []
+        for _ in range(max_steps):
+            key, k_act = jax.random.split(key)
+            _, env_act, _ = act_fn(ts, jnp.asarray(self.obs), k_act, explore_param)
+            res, carry = self.venv.step(np.asarray(env_act))
+            done = res.terminated | res.truncated
+            self.ep_ret += res.reward
+            self.ep_len += 1
+            for i in np.nonzero(done)[0]:
+                if counts[i] < quota[i]:
+                    returns.append(float(self.ep_ret[i]))
+                    lens.append(int(self.ep_len[i]))
+                counts[i] += 1
+                self.ep_ret[i] = 0
+                self.ep_len[i] = 0
+            self.obs = carry
+            if np.all(counts >= quota):
+                break
+        return CollectStats(
+            n_collected_steps=int(np.sum(lens)),
+            n_collected_episodes=len(returns),
+            returns=np.asarray(returns),
+            lens=np.asarray(lens, np.int64),
+        )

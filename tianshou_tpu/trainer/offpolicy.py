@@ -109,7 +109,116 @@ class OffPolicyTrainer:
         return jax.jit(superstep, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
+    def _build_update_scan(self):
+        """Jitted k-update scan for the host-env path (collect happens on
+        host; only the update loop runs as one XLA program)."""
+        algo, buffer, batch_size = self.algo, self.buffer, self.batch_size
+        n_updates = self.updates_per_segment
+
+        def updates(ts, bstate, key):
+            def upd(carry, k):
+                ts_c, bst = carry
+                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
+                return (ts_c, bst), metrics
+
+            keys = jax.random.split(key, n_updates)
+            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
+            return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
+
+        return jax.jit(updates)
+
+    def _run_host(self) -> InfoStats:
+        """Training loop over host-process (gymnasium) envs: threaded env
+        stepping + device updates (the reference's normal mode of
+        operation, SURVEY.md §3.1, with EnvPool-style batched feeding)."""
+        t_start = time.time()
+        key = jax.random.key(self.seed)
+        k_init, key = jax.random.split(key)
+        col = self.train_collector
+        col.reset(seed=self.seed)
+        ts = self.algo.init(k_init, jnp.asarray(col.obs[0]))
+        # derive buffer schema from a single host step
+        key, k_w = jax.random.split(key)
+        bstate = None
+        bstate_probe, stats, traj = col.collect(
+            ts, None, 1, k_w, explore=True, explore_param=1.0, record_traj=True
+        )
+        example = jax.tree.map(lambda x: jnp.asarray(x[0, 0]), traj)
+        bstate = self.buffer.init(example)
+
+        env_step = 0
+        grad_step = 0
+        best_reward, best_reward_std = -np.inf, 0.0
+        last_metrics: dict = {}
+        if self.warmup_steps > 0:
+            warm_len = max(1, self.warmup_steps // col.venv.num_envs)
+            key, k_warm = jax.random.split(key)
+            bstate, stats, _ = col.collect(
+                ts, bstate, warm_len, k_warm, explore=True,
+                explore_param=1.0 if self.warmup_random else 0.0,
+            )
+            env_step += stats.n_collected_steps
+
+        updates_fn = self._build_update_scan()
+        stop_triggered = False
+        epoch = 0
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            while steps_this_epoch < self.step_per_epoch:
+                explore_param = float(self.train_param_fn(epoch, env_step))
+                key, k_c, k_u = jax.random.split(key, 3)
+                bstate, stats, _ = col.collect(
+                    ts, bstate, self.segment_len, k_c,
+                    explore=True, explore_param=explore_param,
+                )
+                ts, bstate, metrics = updates_fn(ts, bstate, k_u)
+                env_step += self.steps_per_segment
+                steps_this_epoch += self.steps_per_segment
+                grad_step += self.updates_per_segment
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if self.logger is not None:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts, k_test, self.episode_per_test,
+                explore=False, explore_param=self.test_param,
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+                if self.save_best_fn is not None:
+                    self.save_best_fn(ts)
+            if self.logger is not None:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
+        self.buffer_state = bstate
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=time.time() - t_start,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
+
     def run(self) -> InfoStats:
+        if getattr(self.train_collector, "is_host_collector", False):
+            return self._run_host()
         t_start = time.time()
         rng = np.random.default_rng(self.seed)
         key = jax.random.key(self.seed)

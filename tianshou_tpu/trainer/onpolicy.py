@@ -116,7 +116,119 @@ class OnPolicyTrainer:
         return jax.jit(superstep)
 
     # ------------------------------------------------------------------
+    def _build_learn_fn(self):
+        """Jitted (process rollout -> repeat x minibatch SGD) for the
+        host-env path (rollout arrives as numpy from the host collector)."""
+        algo = self.algo
+        M = self.steps_per_segment
+        bs = min(self.batch_size, M)
+        nmb = max(1, M // bs)
+        repeat = self.repeat_per_collect
+        recompute = getattr(algo, "recompute_advantage", False)
+        has_pre_learn = hasattr(algo, "pre_learn")
+
+        def learn(ts, traj, key):
+            pre_metrics = {}
+            if has_pre_learn:
+                key, k_pre = jax.random.split(key)
+                ts, pre_metrics = algo.pre_learn(ts, traj, k_pre)
+            processed0 = algo.process_rollout(ts, traj)
+
+            def repeat_body(ts, k):
+                processed = (
+                    algo.process_rollout(ts, traj) if recompute else processed0
+                )
+                k_perm, k_learn = jax.random.split(k)
+                perm = jax.random.permutation(k_perm, M)[: nmb * bs].reshape(
+                    nmb, bs
+                )
+
+                def mb_body(ts, idx):
+                    return algo.learn(ts, tree_slice(processed, idx), k_learn)
+
+                ts, metrics = jax.lax.scan(mb_body, ts, perm)
+                return ts, jax.tree.map(lambda m: m.mean(), metrics)
+
+            keys = jax.random.split(key, repeat)
+            ts, metrics = jax.lax.scan(repeat_body, ts, keys)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            metrics.update(pre_metrics)
+            return ts, metrics
+
+        return jax.jit(learn)
+
+    def _run_host(self) -> InfoStats:
+        t_start = time.time()
+        key = jax.random.key(self.seed)
+        k_init, key = jax.random.split(key)
+        col = self.train_collector
+        col.reset(seed=self.seed)
+        ts = self.algo.init(k_init, jnp.asarray(col.obs[0]))
+        learn_fn = self._build_learn_fn()
+
+        env_step = 0
+        grad_step = 0
+        best_reward, best_reward_std = -np.inf, 0.0
+        last_metrics: dict = {}
+        stop_triggered = False
+        epoch = 0
+        updates_per_segment = self.repeat_per_collect * max(
+            1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
+        )
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            while steps_this_epoch < self.step_per_epoch:
+                key, k_c, k_u = jax.random.split(key, 3)
+                _, stats, traj = col.collect(
+                    ts, None, self.segment_len, k_c,
+                    explore=True, record_traj=True,
+                )
+                ts, metrics = learn_fn(ts, traj.to_jax(), k_u)
+                env_step += self.steps_per_segment
+                steps_this_epoch += self.steps_per_segment
+                grad_step += updates_per_segment
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if self.logger is not None:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts, k_test, self.episode_per_test, explore=False
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+                if self.save_best_fn is not None:
+                    self.save_best_fn(ts)
+            if self.logger is not None:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=time.time() - t_start,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
+
     def run(self) -> InfoStats:
+        if getattr(self.train_collector, "is_host_collector", False):
+            return self._run_host()
         t_start = time.time()
         key = jax.random.key(self.seed)
         k_init, k_reset, key = jax.random.split(key, 3)
