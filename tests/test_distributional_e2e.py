@@ -191,3 +191,20 @@ def test_bdq_discretized_pendulum():
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_drqn_cartpole():
+    """Recurrent DQN with LSTM carries through the collector scan
+    (reference ``test/discrete/test_drqn.py`` analog)."""
+    from tianshou_tpu.algos.drqn import DRQN
+    from tianshou_tpu.networks.common import RecurrentQNet
+
+    env = CartPole()
+    algo = DRQN(
+        RecurrentQNet(hidden_size=128, num_actions=2),
+        env.action_space,
+        stack_num=4,
+        gamma=0.95,
+        target_update_freq=320,
+    )
+    _train(algo, env, 180, max_epoch=12)

@@ -77,6 +77,26 @@ class Algorithm:
         transition (e.g. ``log_prob`` for PPO), possibly empty."""
         raise NotImplementedError
 
+    # -- recurrent-policy hooks (reference RecurrentStateBatch plumbing,
+    # ``collector.py:400-443``) --------------------------------------------
+    def init_policy_state(self, num_envs: int) -> Any:
+        """Per-env recurrent state carried through the rollout scan; ``()``
+        for feedforward policies."""
+        return ()
+
+    def act_with_state(
+        self,
+        ts: TrainState,
+        obs: Any,
+        policy_state: Any,
+        key: jax.Array,
+        explore: bool,
+        explore_param: jax.Array | float = 0.0,
+    ) -> tuple[jax.Array, Batch, Any]:
+        """Stateful acting; default delegates to the stateless :meth:`act`."""
+        act, extras = self.act(ts, obs, key, explore, explore_param)
+        return act, extras, policy_state
+
     def map_action(self, act: jax.Array) -> jax.Array:
         """Map the policy's internal action to the env's action space.
 
@@ -170,7 +190,13 @@ class RandomPolicy(Algorithm):
         leaves = jax.tree_util.tree_leaves(obs)
         bsz = leaves[0].shape[0]
         space = self.action_space
-        if isinstance(space, Box):
+        if isinstance(obs, Batch) and "mask" in obs:
+            # uniform over legal actions (MARL action masks)
+            g = jax.random.gumbel(key, obs["mask"].shape)
+            a = jnp.argmax(
+                jnp.where(obs["mask"].astype(bool), g, -jnp.inf), axis=-1
+            ).astype(jnp.int32)
+        elif isinstance(space, Box):
             # internal convention: continuous actions live in [-1, 1]
             a = jax.random.uniform(key, (bsz,) + space.shape, minval=-1.0, maxval=1.0)
         else:

@@ -51,8 +51,8 @@ class DQN(Algorithm):
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, obs_example: Any) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
-        params = self.network.init(key, obs)
+        obs = jax.tree.map(lambda x: jnp.asarray(x)[None], obs_example)
+        params = self.network.init(key, self._net_input(obs))
         return TrainState(
             params=params,
             target_params=params,
@@ -60,8 +60,24 @@ class DQN(Algorithm):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def q_values(self, params: Any, obs: jax.Array) -> jax.Array:
-        return self.network.apply(params, obs)
+    @staticmethod
+    def _net_input(obs: Any) -> jax.Array:
+        """Support dict observations with action masks (the reference's
+        ``obs.mask`` pattern, ``dqn.py:158-164``, used by MARL envs)."""
+        return obs["obs"] if isinstance(obs, Batch) and "obs" in obs else obs
+
+    @staticmethod
+    def _action_mask(obs: Any) -> jax.Array | None:
+        if isinstance(obs, Batch) and "mask" in obs:
+            return obs["mask"].astype(bool)
+        return None
+
+    def q_values(self, params: Any, obs: Any) -> jax.Array:
+        q = self.network.apply(params, self._net_input(obs))
+        mask = self._action_mask(obs)
+        if mask is not None:
+            q = jnp.where(mask, q, -1e9)
+        return q
 
     # ------------------------------------------------------------------
     def act(self, ts, obs, key, explore, explore_param=0.0):
@@ -70,7 +86,15 @@ class DQN(Algorithm):
         if not explore:
             return greedy, Batch()
         k1, k2 = jax.random.split(key)
-        rand = jax.random.randint(k1, greedy.shape, 0, self.action_space.n)
+        mask = self._action_mask(obs)
+        if mask is None:
+            rand = jax.random.randint(k1, greedy.shape, 0, self.action_space.n)
+        else:
+            # uniform over legal actions via masked Gumbel trick
+            g = jax.random.gumbel(k1, q.shape)
+            rand = jnp.argmax(jnp.where(mask, g, -jnp.inf), axis=-1).astype(
+                jnp.int32
+            )
         take_rand = jax.random.uniform(k2, greedy.shape) < explore_param
         return jnp.where(take_rand, rand, greedy).astype(jnp.int32), Batch()
 

@@ -44,6 +44,7 @@ class CollectState:
     rng: jax.Array
     ep_ret: jax.Array  # [N] running episode return
     ep_len: jax.Array  # [N] running episode length
+    policy_state: Any = ()  # per-env recurrent policy state (LSTM carries)
 
 
 @dataclasses.dataclass
@@ -88,11 +89,28 @@ def rollout_segment(
         def body(carry, _):
             cst, bst = carry
             k_act, k_env, rng = jax.random.split(cst.rng, 3)
-            act, extras = algo.act(ts, cst.obs, k_act, explore, explore_param)
+            act, extras, pstate = algo.act_with_state(
+                ts, cst.obs, cst.policy_state, k_act, explore, explore_param
+            )
             env_act = algo.map_action(act)
             env_state, res, carry_obs = venv.step(cst.env_state, env_act, k_env)
             done = res.terminated | res.truncated
-            ep_ret = cst.ep_ret + res.reward
+            # MARL envs emit per-agent reward vectors [N, n_agents]; episode
+            # stats track the first agent (the reference's reward_metric
+            # hook default, ``trainer/base.py`` reward_metric)
+            rew_scalar = (
+                res.reward if res.reward.ndim == 1 else res.reward[..., 0]
+            )
+            # reset recurrent state on episode boundaries
+            init_pstate = algo.init_policy_state(venv.num_envs)
+            pstate = jax.tree.map(
+                lambda i, p: jnp.where(
+                    done.reshape(done.shape + (1,) * (jnp.ndim(p) - 1)), i, p
+                ),
+                init_pstate,
+                pstate,
+            )
+            ep_ret = cst.ep_ret + rew_scalar
             ep_len = cst.ep_len + 1
             transition = Batch(
                 obs=cst.obs,
@@ -119,6 +137,7 @@ def rollout_segment(
                 rng=rng,
                 ep_ret=jnp.where(done, 0.0, ep_ret),
                 ep_len=jnp.where(done, 0, ep_len),
+                policy_state=pstate,
             )
             return (new_cst, bst), out
 
@@ -159,6 +178,7 @@ class Collector:
             rng=k_rng,
             ep_ret=jnp.zeros((n,), jnp.float32),
             ep_len=jnp.zeros((n,), jnp.int32),
+            policy_state=self.algo.init_policy_state(n),
         )
 
     def example_transition(self, ts: TrainState, cstate: CollectState) -> Batch:

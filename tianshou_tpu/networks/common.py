@@ -103,38 +103,33 @@ class DuelingQNet(nn.Module):
 
 class RecurrentQNet(nn.Module):
     """LSTM-backed Q net over stacked frames ``[B, L, obs_dim]``
-    (reference ``Recurrent``, ``utils/net/common.py:290-372``)."""
+    (reference ``Recurrent``, ``utils/net/common.py:290-372``).
+
+    ``carry`` is an explicit ``(c, h)`` pair of ``[B, hidden]`` arrays so it
+    can live in the collector's ``CollectState`` and flow through the
+    rollout scan; :meth:`init_carry` builds the zero state.
+    """
 
     hidden_size: int
     num_actions: int
-    num_layers: int = 1
 
     @nn.compact
     def __call__(
-        self, obs: jax.Array, carry: jax.Array | None = None
-    ) -> tuple[jax.Array, tuple]:
+        self, obs: jax.Array, carry: tuple[jax.Array, jax.Array]
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
         if obs.ndim == 2:
             obs = obs[:, None, :]
         x = nn.Dense(self.hidden_size)(obs)
-        cells = [nn.OptimizedLSTMCell(self.hidden_size) for _ in range(self.num_layers)]
-        bsz = obs.shape[0]
-        if carry is None:
-            carries = [
-                c.initialize_carry(jax.random.key(0), (bsz, self.hidden_size))
-                for c in cells
-            ]
-        else:
-            carries = list(carry)
-        for li, cell in enumerate(cells):
-            outs = []
-            c = carries[li]
-            for t in range(x.shape[1]):
-                c, y = cell(c, x[:, t])
-                outs.append(y)
-            x = jnp.stack(outs, axis=1)
-            carries[li] = c
-        q = nn.Dense(self.num_actions)(x[:, -1])
-        return q, tuple(carries)
+        cell = nn.OptimizedLSTMCell(self.hidden_size)
+        y = None
+        for t in range(x.shape[1]):
+            carry, y = cell(carry, x[:, t])
+        q = nn.Dense(self.num_actions)(y)
+        return q, carry
+
+    def init_carry(self, batch_size: int) -> tuple[jax.Array, jax.Array]:
+        z = jnp.zeros((batch_size, self.hidden_size), jnp.float32)
+        return (z, z)
 
 
 class EnsembleMLP(nn.Module):

@@ -265,7 +265,7 @@ class OffPolicyTrainer:
                 ts, cstate, bstate, outputs, metrics = self._superstep(
                     ts, cstate, bstate, k_step, explore_param
                 )
-                jax.block_until_ready(ts.step)
+                jax.block_until_ready(metrics)
                 train_time_collect += time.time() - t0
                 env_step += self.steps_per_segment
                 steps_this_epoch += self.steps_per_segment
