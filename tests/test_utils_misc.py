@@ -205,3 +205,78 @@ def test_her_ddpg_goal_reach():
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_icm_dqn_cartpole():
+    """ICM-wrapped DQN still solves CartPole (wrapper correctness; the
+    reference wraps any policy the same way, icm.py:36)."""
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.algos.icm import ICM, ICMNet
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = CartPole()
+    inner = DQN(
+        network=QNet((128, 128), 2),
+        action_space=env.action_space,
+        gamma=0.95,
+        n_step=1,
+        target_update_freq=320,
+    )
+    algo = ICM(
+        inner,
+        ICMNet((64,), feature_dim=32, num_actions=2),
+        lr=1e-3,
+        reward_scale=0.01,
+    )
+    buffer = ReplayBuffer(capacity=2000, num_envs=10)
+    trainer = OffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 10), buffer),
+        Collector(algo, VectorEnv(env, 10)),
+        buffer,
+        max_epoch=5,
+        step_per_epoch=10000,
+        step_per_collect=100,
+        update_per_step=0.1,
+        batch_size=64,
+        train_param_fn=lambda e, s: 0.1,
+        stop_fn=lambda rew: rew >= 180,
+        warmup_steps=1000,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered, f"best={info.best_reward}"
+    assert "icm_loss" in info.last_metrics
+
+
+def test_psrl_nchain():
+    """PSRL discovers the forward policy on NChain (the reference's
+    tabular PSRL test pattern)."""
+    from tianshou_tpu.algos.psrl import PSRL
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import NChain
+    from tianshou_tpu.trainer.onpolicy import OnPolicyTrainer
+
+    env = NChain()
+    algo = PSRL(num_states=5, action_space=env.action_space, gamma=0.95)
+    trainer = OnPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 8)),
+        Collector(algo, VectorEnv(env, 8)),
+        max_epoch=5,
+        step_per_epoch=2000,
+        step_per_collect=400,
+        repeat_per_collect=1,
+        batch_size=400,
+        episode_per_test=8,
+        stop_fn=lambda rew: rew >= 300,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered, f"best={info.best_reward}"

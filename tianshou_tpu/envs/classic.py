@@ -312,11 +312,61 @@ class Acrobot(JaxEnv):
         )
 
 
+class NChainState(NamedTuple):
+    s: jax.Array
+    t: jax.Array
+
+
+class NChain(JaxEnv):
+    """NChain: tabular chain MDP for PSRL-style model-based algorithms.
+
+    Action 0 moves forward (reward 0, large reward ``BIG`` at the end);
+    action 1 returns to start with small reward 2; 'slip' probability
+    flips the action.  Integer observations (state index).
+    """
+
+    N = 5
+    SLIP = 0.2
+    SMALL = 2.0
+    BIG = 10.0
+    MAX_STEPS = 100
+
+    observation_space = Box(low=0.0, high=4.0, shape=(1,))
+    action_space = Discrete(2)
+
+    def reset(self, key: jax.Array):
+        state = NChainState(jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        return state, self._obs(state)
+
+    @staticmethod
+    def _obs(st: NChainState) -> jax.Array:
+        return st.s.astype(jnp.float32)[None]
+
+    def step(self, state: NChainState, action: jax.Array):
+        # stochastic slip requires a per-step key: derive from state
+        key = jax.random.fold_in(jax.random.key(17), state.t * 1000 + state.s)
+        slip = jax.random.uniform(key) < self.SLIP
+        a = jnp.where(slip, 1 - action.astype(jnp.int32), action.astype(jnp.int32))
+        fwd_s = jnp.minimum(state.s + 1, self.N - 1)
+        at_end = state.s == self.N - 1
+        rew_fwd = jnp.where(at_end, self.BIG, 0.0)
+        s_new = jnp.where(a == 0, fwd_s, 0)
+        rew = jnp.where(a == 0, rew_fwd, self.SMALL)
+        new = NChainState(s_new.astype(jnp.int32), state.t + 1)
+        return new, StepResult(
+            obs=self._obs(new),
+            reward=rew.astype(jnp.float32),
+            terminated=jnp.zeros((), bool),
+            truncated=new.t >= self.MAX_STEPS,
+        )
+
+
 _REGISTRY = {
     "CartPole-v1": CartPole,
     "Pendulum-v1": Pendulum,
     "MountainCarContinuous-v0": MountainCarContinuous,
     "Acrobot-v1": Acrobot,
+    "NChain-v0": NChain,
 }
 
 
