@@ -1,0 +1,116 @@
+"""High-level API smoke tests: every ExperimentBuilder runs a short
+experiment (the reference's ``test/highlevel/test_experiment_builder.py``
+pattern), plus persistence round-trip and the multi-seed launcher."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tianshou_tpu.evaluation.aggregate import AggregatedResult, iqm
+from tianshou_tpu.evaluation.launcher import SequentialExpLauncher
+from tianshou_tpu.highlevel.config import SamplingConfig
+from tianshou_tpu.highlevel.env import JaxEnvFactory
+from tianshou_tpu.highlevel.experiment import (
+    A2CExperimentBuilder,
+    DDPGExperimentBuilder,
+    DiscreteSACExperimentBuilder,
+    DQNExperimentBuilder,
+    Experiment,
+    ExperimentConfig,
+    IQNExperimentBuilder,
+    NPGExperimentBuilder,
+    PGExperimentBuilder,
+    PPOExperimentBuilder,
+    REDQExperimentBuilder,
+    SACExperimentBuilder,
+    TD3ExperimentBuilder,
+    TRPOExperimentBuilder,
+)
+
+_SMOKE_ONPOLICY = SamplingConfig(
+    num_epochs=1, step_per_epoch=512, step_per_collect=256,
+    repeat_per_collect=1, batch_size=64, num_train_envs=4, num_test_envs=2,
+    episode_per_test=2,
+)
+_SMOKE_OFFPOLICY = SamplingConfig(
+    num_epochs=1, step_per_epoch=200, step_per_collect=40, batch_size=32,
+    num_train_envs=4, num_test_envs=2, buffer_size=2000,
+    update_per_step=0.1, start_timesteps=100, episode_per_test=2,
+)
+
+DISCRETE = [
+    (DQNExperimentBuilder, _SMOKE_OFFPOLICY, "CartPole-v1"),
+    (IQNExperimentBuilder, _SMOKE_OFFPOLICY, "CartPole-v1"),
+    (DiscreteSACExperimentBuilder, _SMOKE_OFFPOLICY, "CartPole-v1"),
+    (PPOExperimentBuilder, _SMOKE_ONPOLICY, "CartPole-v1"),
+    (A2CExperimentBuilder, _SMOKE_ONPOLICY, "CartPole-v1"),
+    (PGExperimentBuilder, _SMOKE_ONPOLICY, "CartPole-v1"),
+]
+CONTINUOUS = [
+    (SACExperimentBuilder, _SMOKE_OFFPOLICY, "Pendulum-v1"),
+    (TD3ExperimentBuilder, _SMOKE_OFFPOLICY, "Pendulum-v1"),
+    (DDPGExperimentBuilder, _SMOKE_OFFPOLICY, "Pendulum-v1"),
+    (REDQExperimentBuilder, _SMOKE_OFFPOLICY, "Pendulum-v1"),
+    (PPOExperimentBuilder, _SMOKE_ONPOLICY, "Pendulum-v1"),
+    (NPGExperimentBuilder, _SMOKE_ONPOLICY, "Pendulum-v1"),
+    (TRPOExperimentBuilder, _SMOKE_ONPOLICY, "Pendulum-v1"),
+]
+
+
+@pytest.mark.parametrize(
+    "builder_cls,sampling,task", DISCRETE + CONTINUOUS,
+    ids=lambda v: getattr(v, "__name__", str(v))[:24],
+)
+def test_builder_smoke(builder_cls, sampling, task):
+    exp = (
+        builder_cls(
+            JaxEnvFactory(task),
+            config=ExperimentConfig(logger="none", checkpoint_best=False),
+            sampling=dataclasses.replace(sampling),
+        )
+        .with_seed(0)
+        .build()
+    )
+    result = exp.run()
+    assert result.info.env_step > 0
+    assert np.isfinite(result.info.best_reward)
+
+
+def test_experiment_persistence_roundtrip(tmp_path):
+    exp = (
+        DQNExperimentBuilder(
+            JaxEnvFactory("CartPole-v1"),
+            config=ExperimentConfig(logger="none", checkpoint_best=False),
+            sampling=dataclasses.replace(_SMOKE_OFFPOLICY),
+        )
+        .with_seed(3)
+        .build()
+    )
+    exp.save(str(tmp_path))
+    exp2 = Experiment.from_directory(str(tmp_path))
+    assert exp2.config.seed == 3
+    result = exp2.run()
+    assert result.info.env_step > 0
+
+
+def test_seeded_collection_and_launcher():
+    builder = DQNExperimentBuilder(
+        JaxEnvFactory("CartPole-v1"),
+        config=ExperimentConfig(logger="none", checkpoint_best=False),
+        sampling=dataclasses.replace(_SMOKE_OFFPOLICY),
+    )
+    exps = builder.build_seeded_collection(3)
+    assert [e.config.seed for e in exps] == [0, 1, 2]
+    result = SequentialExpLauncher().launch(exps)
+    assert len(result.successes) == 3 and not result.failures
+    agg = AggregatedResult.from_launch(result)
+    assert np.isfinite(agg.iqm)
+    assert agg.ci_low <= agg.iqm <= agg.ci_high
+
+
+def test_iqm_properties():
+    assert iqm(np.arange(100)) == pytest.approx(49.5, abs=1.0)
+    # robust to outliers
+    x = np.asarray([1.0] * 10 + [1e9])
+    assert iqm(x) == 1.0

@@ -1,0 +1,565 @@
+"""High-level declarative experiment API.
+
+Counterpart of ``tianshou/highlevel/experiment.py`` (``Experiment:133``,
+``ExperimentBuilder:374`` and the per-algorithm builders ``:853-1246``):
+an :class:`Experiment` is pure configuration (pickle-able) — env factory +
+algorithm factory + sampling config; ``run()`` wires envs, collectors,
+trainer, logger and orbax persistence, then trains.  Builders provide the
+fluent ``with_*`` construction surface with per-algorithm parameter
+dataclasses (the analog of ``params/policy_params.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Any, Callable, Literal
+
+import jax
+import numpy as np
+
+from tianshou_tpu.algos.base import Algorithm
+from tianshou_tpu.collect.collector import Collector
+from tianshou_tpu.collect.host_collector import HostCollector
+from tianshou_tpu.data.buffer import ReplayBuffer
+from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+from tianshou_tpu.data.stats import InfoStats
+from tianshou_tpu.envs.spaces import Box, Discrete
+from tianshou_tpu.highlevel.config import SamplingConfig
+from tianshou_tpu.highlevel.env import EnvFactory, Environments
+from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+from tianshou_tpu.trainer.onpolicy import OnPolicyTrainer
+from tianshou_tpu.utils.checkpoint import save_checkpoint
+from tianshou_tpu.utils.logger import LazyLogger, TensorboardLogger
+
+__all__ = [
+    "ExperimentConfig",
+    "ExperimentResult",
+    "Experiment",
+    "ExperimentBuilder",
+    "DQNExperimentBuilder",
+    "PPOExperimentBuilder",
+    "SACExperimentBuilder",
+    "TD3ExperimentBuilder",
+    "DDPGExperimentBuilder",
+    "A2CExperimentBuilder",
+    "PGExperimentBuilder",
+    "NPGExperimentBuilder",
+    "TRPOExperimentBuilder",
+    "IQNExperimentBuilder",
+    "REDQExperimentBuilder",
+    "DiscreteSACExperimentBuilder",
+]
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Global experiment settings (reference ``experiment.py:93-120``)."""
+
+    seed: int = 0
+    persistence_base_dir: str = "log"
+    logger: Literal["tensorboard", "none"] = "none"
+    checkpoint_best: bool = True
+    train_param_fn: Callable[[int, int], float] | None = None
+    test_param: float = 0.0
+    stop_fn: Callable[[float], bool] | None = None
+
+
+@dataclasses.dataclass
+class ExperimentResult:
+    info: InfoStats
+    train_state: Any
+    log_dir: str | None
+
+
+class Experiment:
+    """Pickle-able experiment = config + factories (``experiment.py:133``)."""
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        env_factory: EnvFactory,
+        algo_factory: Callable[[Environments], Algorithm],
+        sampling: SamplingConfig,
+        trainer_kind: Literal["onpolicy", "offpolicy"],
+    ):
+        self.config = config
+        self.env_factory = env_factory
+        self.algo_factory = algo_factory
+        self.sampling = sampling
+        self.trainer_kind = trainer_kind
+
+    # -- persistence (reference Experiment pickling + from_directory) -------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "experiment.pkl"), "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def from_directory(directory: str) -> "Experiment":
+        with open(os.path.join(directory, "experiment.pkl"), "rb") as f:
+            return pickle.load(f)
+
+    # -- orchestration (experiment.py:207-338) ------------------------------
+    def run(self, name: str | None = None) -> ExperimentResult:
+        cfg, sampling = self.config, self.sampling
+        np.random.seed(cfg.seed)
+        name = name or f"exp_{int(time.time())}"
+        log_dir = None
+        logger = LazyLogger()
+        if cfg.logger == "tensorboard":
+            log_dir = os.path.join(cfg.persistence_base_dir, name)
+            logger = TensorboardLogger(log_dir, train_interval=1000)
+
+        envs = self.env_factory.create_envs(
+            sampling.num_train_envs, sampling.num_test_envs
+        )
+        algo = self.algo_factory(envs)
+
+        save_best_fn = None
+        if cfg.checkpoint_best and log_dir is not None:
+            ckpt_dir = os.path.join(log_dir, "checkpoint")
+
+            def save_best_fn(ts):
+                save_checkpoint(ckpt_dir, ts)
+
+        if self.trainer_kind == "offpolicy":
+            buf_cls = (
+                PrioritizedReplayBuffer if sampling.prioritized_buffer else ReplayBuffer
+            )
+            buf_kwargs = (
+                {"alpha": sampling.prio_alpha, "beta": sampling.prio_beta}
+                if sampling.prioritized_buffer
+                else {}
+            )
+            buffer = buf_cls(
+                capacity=max(1, sampling.buffer_size // sampling.num_train_envs),
+                num_envs=sampling.num_train_envs,
+                stack_num=sampling.replay_buffer_stack_num,
+                **buf_kwargs,
+            )
+            if envs.backend == "jax":
+                train_col = Collector(algo, envs.train_venv, buffer)
+                test_col = Collector(algo, envs.test_venv)
+            else:
+                train_col = HostCollector(algo, envs.train_venv, buffer)
+                test_col = HostCollector(algo, envs.test_venv)
+            trainer = OffPolicyTrainer(
+                algo,
+                train_col,
+                test_col,
+                buffer,
+                max_epoch=sampling.num_epochs,
+                step_per_epoch=sampling.step_per_epoch,
+                step_per_collect=sampling.step_per_collect,
+                update_per_step=sampling.update_per_step,
+                batch_size=sampling.batch_size,
+                episode_per_test=sampling.episode_per_test,
+                train_param_fn=cfg.train_param_fn,
+                test_param=cfg.test_param,
+                stop_fn=cfg.stop_fn,
+                warmup_steps=sampling.start_timesteps,
+                warmup_random=sampling.start_timesteps_random,
+                logger=logger,
+                seed=cfg.seed,
+                save_best_fn=save_best_fn,
+            )
+        else:
+            if envs.backend == "jax":
+                train_col = Collector(algo, envs.train_venv)
+                test_col = Collector(algo, envs.test_venv)
+            else:
+                train_col = HostCollector(algo, envs.train_venv)
+                test_col = HostCollector(algo, envs.test_venv)
+            trainer = OnPolicyTrainer(
+                algo,
+                train_col,
+                test_col,
+                max_epoch=sampling.num_epochs,
+                step_per_epoch=sampling.step_per_epoch,
+                step_per_collect=sampling.step_per_collect,
+                repeat_per_collect=sampling.repeat_per_collect,
+                batch_size=sampling.batch_size,
+                episode_per_test=sampling.episode_per_test,
+                stop_fn=cfg.stop_fn,
+                logger=logger,
+                seed=cfg.seed,
+                save_best_fn=save_best_fn,
+            )
+
+        info = trainer.run()
+        logger.finalize()
+        if log_dir is not None:
+            self.save(log_dir)
+        return ExperimentResult(
+            info=info, train_state=trainer.train_state, log_dir=log_dir
+        )
+
+
+# ---------------------------------------------------------------------------
+# builders
+
+
+class ExperimentBuilder:
+    """Fluent construction (reference ``ExperimentBuilder:374``)."""
+
+    trainer_kind: Literal["onpolicy", "offpolicy"] = "offpolicy"
+
+    def __init__(
+        self,
+        env_factory: EnvFactory,
+        config: ExperimentConfig | None = None,
+        sampling: SamplingConfig | None = None,
+    ):
+        self.env_factory = env_factory
+        self.config = config or ExperimentConfig()
+        self.sampling = sampling or SamplingConfig()
+
+    def with_seed(self, seed: int):
+        self.config.seed = seed
+        return self
+
+    def with_logger(self, kind: Literal["tensorboard", "none"]):
+        self.config.logger = kind
+        return self
+
+    def with_stop_fn(self, fn: Callable[[float], bool]):
+        self.config.stop_fn = fn
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        raise NotImplementedError
+
+    def build(self) -> Experiment:
+        return Experiment(
+            config=self.config,
+            env_factory=self.env_factory,
+            algo_factory=self._make_algo,
+            sampling=self.sampling,
+            trainer_kind=self.trainer_kind,
+        )
+
+    def build_seeded_collection(self, num_seeds: int) -> list[Experiment]:
+        """Identical experiments differing only by seed
+        (``experiment.py:531-546``)."""
+        out = []
+        for i in range(num_seeds):
+            cfg = dataclasses.replace(self.config, seed=self.config.seed + i)
+            out.append(
+                Experiment(
+                    config=cfg,
+                    env_factory=self.env_factory,
+                    algo_factory=self._make_algo,
+                    sampling=self.sampling,
+                    trainer_kind=self.trainer_kind,
+                )
+            )
+        return out
+
+
+@dataclasses.dataclass
+class DQNParams:
+    hidden_sizes: tuple[int, ...] = (128, 128)
+    lr: float = 1e-3
+    gamma: float = 0.99
+    n_step: int = 3
+    target_update_freq: int = 320
+    is_double: bool = True
+    eps_train: float = 0.1
+    eps_test: float = 0.0
+
+
+class DQNExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def with_dqn_params(self, params: DQNParams):
+        self.params = params
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.dqn import DQN
+        from tianshou_tpu.networks.common import QNet
+
+        p = getattr(self, "params", DQNParams())
+        assert isinstance(envs.action_space, Discrete)
+        self.config.train_param_fn = self.config.train_param_fn or (
+            lambda e, s: p.eps_train
+        )
+        self.config.test_param = p.eps_test
+        return DQN(
+            network=QNet(p.hidden_sizes, envs.action_space.n),
+            action_space=envs.action_space,
+            lr=p.lr,
+            gamma=p.gamma,
+            n_step=p.n_step,
+            target_update_freq=p.target_update_freq,
+            is_double=p.is_double,
+        )
+
+
+@dataclasses.dataclass
+class IQNParams(DQNParams):
+    sample_size: int = 32
+    online_sample_size: int = 8
+    target_sample_size: int = 8
+
+
+class IQNExperimentBuilder(DQNExperimentBuilder):
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.qrdqn import IQN
+        from tianshou_tpu.networks.discrete import ImplicitQuantileNetwork
+
+        p = getattr(self, "params", IQNParams())
+        self.config.train_param_fn = self.config.train_param_fn or (
+            lambda e, s: p.eps_train
+        )
+        return IQN(
+            ImplicitQuantileNetwork(p.hidden_sizes, envs.action_space.n),
+            envs.action_space,
+            sample_size=p.sample_size,
+            online_sample_size=p.online_sample_size,
+            target_sample_size=p.target_sample_size,
+            lr=p.lr,
+            gamma=p.gamma,
+            n_step=p.n_step,
+            target_update_freq=p.target_update_freq,
+        )
+
+
+@dataclasses.dataclass
+class OnPolicyParams:
+    hidden_sizes: tuple[int, ...] = (64, 64)
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+
+
+@dataclasses.dataclass
+class PPOParams(OnPolicyParams):
+    eps_clip: float = 0.2
+    value_clip: bool = False
+    dual_clip: float | None = None
+    adv_norm: bool = True
+    recompute_advantage: bool = False
+
+
+def _make_actor_critic(envs: Environments, hidden_sizes):
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.networks.continuous import GaussianActor, ValueNet
+
+    if isinstance(envs.action_space, Discrete):
+        actor = QNet(hidden_sizes, envs.action_space.n)
+    else:
+        actor = GaussianActor(hidden_sizes, envs.action_space.shape[0])
+    return actor, ValueNet(hidden_sizes)
+
+
+class PPOExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "onpolicy"
+
+    def with_ppo_params(self, params: PPOParams):
+        self.params = params
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.ppo import PPO
+
+        p = getattr(self, "params", PPOParams())
+        actor, critic = _make_actor_critic(envs, p.hidden_sizes)
+        return PPO(
+            actor, critic, envs.action_space,
+            lr=p.lr, gamma=p.gamma, gae_lambda=p.gae_lambda,
+            vf_coef=p.vf_coef, ent_coef=p.ent_coef,
+            max_grad_norm=p.max_grad_norm, eps_clip=p.eps_clip,
+            value_clip=p.value_clip, dual_clip=p.dual_clip,
+            adv_norm=p.adv_norm, recompute_advantage=p.recompute_advantage,
+        )
+
+
+class A2CExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "onpolicy"
+
+    def with_a2c_params(self, params: OnPolicyParams):
+        self.params = params
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.a2c import A2C
+
+        p = getattr(self, "params", OnPolicyParams(lr=7e-4, ent_coef=0.01))
+        actor, critic = _make_actor_critic(envs, p.hidden_sizes)
+        return A2C(
+            actor, critic, envs.action_space,
+            lr=p.lr, gamma=p.gamma, gae_lambda=p.gae_lambda,
+            vf_coef=p.vf_coef, ent_coef=p.ent_coef,
+            max_grad_norm=p.max_grad_norm,
+        )
+
+
+class PGExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "onpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.pg import PG
+        from tianshou_tpu.networks.common import QNet
+        from tianshou_tpu.networks.continuous import GaussianActor
+
+        if isinstance(envs.action_space, Discrete):
+            actor = QNet((64, 64), envs.action_space.n)
+        else:
+            actor = GaussianActor((64, 64), envs.action_space.shape[0])
+        return PG(actor, envs.action_space, lr=3e-4, ret_norm=True)
+
+
+class NPGExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "onpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.npg import NPG
+
+        actor, critic = _make_actor_critic(envs, (64, 64))
+        return NPG(actor, critic, envs.action_space)
+
+
+class TRPOExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "onpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.npg import TRPO
+
+        actor, critic = _make_actor_critic(envs, (64, 64))
+        return TRPO(actor, critic, envs.action_space)
+
+
+@dataclasses.dataclass
+class SACParams:
+    hidden_sizes: tuple[int, ...] = (256, 256)
+    actor_lr: float = 1e-3
+    critic_lr: float = 1e-3
+    alpha_lr: float = 3e-4
+    auto_alpha: bool = True
+    alpha: float = 0.2
+    gamma: float = 0.99
+    tau: float = 0.005
+    n_step: int = 1
+
+
+class SACExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def with_sac_params(self, params: SACParams):
+        self.params = params
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.sac import SAC
+        from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+
+        p = getattr(self, "params", SACParams())
+        assert isinstance(envs.action_space, Box)
+        return SAC(
+            actor=GaussianActor(
+                p.hidden_sizes, envs.action_space.shape[0], conditioned_sigma=True
+            ),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=2),
+            action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr, alpha_lr=p.alpha_lr,
+            alpha=p.alpha, auto_alpha=p.auto_alpha,
+            gamma=p.gamma, tau=p.tau, n_step=p.n_step,
+        )
+
+
+class DiscreteSACExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.sac import DiscreteSAC
+        from tianshou_tpu.networks.common import QNet, QNetEnsemble
+
+        assert isinstance(envs.action_space, Discrete)
+        n = envs.action_space.n
+        return DiscreteSAC(
+            actor=QNet((128, 128), n),
+            critic=QNetEnsemble((128, 128), n, num_critics=2),
+            action_space=envs.action_space,
+        )
+
+
+@dataclasses.dataclass
+class TD3Params:
+    hidden_sizes: tuple[int, ...] = (256, 256)
+    actor_lr: float = 3e-4
+    critic_lr: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    exploration_noise: float = 0.1
+    policy_noise: float = 0.2
+    noise_clip: float = 0.5
+    update_actor_freq: int = 2
+
+
+class TD3ExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def with_td3_params(self, params: TD3Params):
+        self.params = params
+        return self
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.ddpg import TD3
+        from tianshou_tpu.networks.continuous import (
+            CriticEnsemble,
+            DeterministicActor,
+        )
+
+        p = getattr(self, "params", TD3Params())
+        return TD3(
+            actor=DeterministicActor(p.hidden_sizes, envs.action_space.shape[0]),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=2),
+            action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr,
+            gamma=p.gamma, tau=p.tau,
+            exploration_noise=p.exploration_noise,
+            policy_noise=p.policy_noise, noise_clip=p.noise_clip,
+            update_actor_freq=p.update_actor_freq,
+        )
+
+
+class DDPGExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.ddpg import DDPG
+        from tianshou_tpu.networks.continuous import (
+            CriticEnsemble,
+            DeterministicActor,
+        )
+
+        return DDPG(
+            actor=DeterministicActor((256, 256), envs.action_space.shape[0]),
+            critic=CriticEnsemble((256, 256), num_critics=1),
+            action_space=envs.action_space,
+        )
+
+
+class REDQExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offpolicy"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.redq import REDQ
+        from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+
+        return REDQ(
+            actor=GaussianActor(
+                (256, 256), envs.action_space.shape[0], conditioned_sigma=True
+            ),
+            critic=CriticEnsemble((256, 256), num_critics=10),
+            action_space=envs.action_space,
+            ensemble_size=10,
+            subset_size=2,
+        )
