@@ -77,6 +77,24 @@ class Algorithm:
         transition (e.g. ``log_prob`` for PPO), possibly empty."""
         raise NotImplementedError
 
+    def compute_action(
+        self, ts: TrainState, obs: Any, key: jax.Array | None = None
+    ) -> Any:
+        """Single-observation inference helper (reference
+        ``compute_action`` ``policy/base.py:290-313``): adds the batch dim,
+        runs deterministic :meth:`act`, maps to the env action space and
+        returns a host scalar/array."""
+        import numpy as np
+
+        key = key if key is not None else jax.random.key(0)
+        obs_b = jax.tree.map(lambda x: jnp.asarray(x)[None], obs)
+        act, _ = self.act(ts, obs_b, key, explore=False)
+        act = self.map_action(act)
+        out = np.asarray(act[0])
+        if isinstance(self.action_space, Discrete):
+            return int(out)
+        return out
+
     # -- recurrent-policy hooks (reference RecurrentStateBatch plumbing,
     # ``collector.py:400-443``) --------------------------------------------
     def init_policy_state(self, num_envs: int) -> Any:

@@ -10,6 +10,14 @@ cursors.  Every operation (add / uniform sample / n-step index chaining /
 frame-stack gather) is a pure jittable function of that state, so the whole
 collect->sample->update pipeline stays on device with zero host sync.
 
+Design note — ``CachedReplayBuffer`` (reference ``buffer/cached.py:7``):
+the reference needs episode-staging caches because its manager interleaves
+many envs' episodes inside ONE flat ring.  Here every env owns its own
+contiguous ring (``[num_envs, capacity]``), so episodes are stored
+contiguously by construction and the cached-buffer machinery has no role;
+``chronological`` provides the ordered view the reference's cached layout
+exists to guarantee.
+
 Index semantics mirror the reference exactly:
 - per-env circular writes (``buffer/base.py:239-292``);
 - episode-aware ``next``: saturates at episode end or at the newest element

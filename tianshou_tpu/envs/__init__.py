@@ -1,0 +1,11 @@
+"""Environment layer: pure-JAX envs + host gymnasium bridge."""
+
+from tianshou_tpu.envs.base import JaxEnv, StepResult, VectorEnv
+from tianshou_tpu.envs.classic import make_env
+from tianshou_tpu.envs.norm import NormObsVectorEnv
+from tianshou_tpu.envs.spaces import Box, Discrete, MultiDiscrete
+
+__all__ = [
+    "Box", "Discrete", "JaxEnv", "make_env", "MultiDiscrete",
+    "NormObsVectorEnv", "StepResult", "VectorEnv",
+]
