@@ -1,0 +1,270 @@
+// Native batched environment pool (the EnvPool role in the reference:
+// pyproject.toml envpool dep + highlevel/env.py:323-360 integration).
+//
+// Implements classic-control dynamics (CartPole-v1, Pendulum-v1) in C++
+// with struct-of-arrays state, stepping all instances across a persistent
+// thread pool and writing results into caller-provided (pinned) numpy
+// buffers — zero Python work per env per step.  Auto-reset follows the
+// same semantics as the Python/JAX vector envs: the `obs` output keeps the
+// terminal observation while `carry_obs` holds the fresh episode's reset
+// observation.
+//
+// Exposed through a plain C API consumed via ctypes
+// (tianshou_tpu/envs/cpp_pool.py) — no pybind11 dependency.
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr double PI = 3.14159265358979323846;
+
+// SplitMix64: small, fast, per-env PRNG
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next_u64() {
+    uint64_t z = (s += 0x9E3779B97f4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  double uniform() {  // [0, 1)
+    return (next_u64() >> 11) * (1.0 / 9007199254740992.0);
+  }
+  double uniform(double lo, double hi) { return lo + (hi - lo) * uniform(); }
+};
+
+struct ThreadPool {
+  explicit ThreadPool(int n) : stop_(false), pending_(0) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+            if (stop_ && jobs_.empty()) return;
+            job = std::move(jobs_.back());
+            jobs_.pop_back();
+          }
+          job();
+          if (pending_.fetch_sub(1) == 1) {
+            std::lock_guard<std::mutex> lk(done_mu_);
+            done_cv_.notify_all();
+          }
+        }
+      });
+    }
+  }
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void run_chunks(int total, const std::function<void(int, int)>& fn) {
+    int n = static_cast<int>(workers_.size());
+    if (n <= 1 || total < 2 * n) {
+      fn(0, total);
+      return;
+    }
+    int chunk = (total + n - 1) / n;
+    int njobs = (total + chunk - 1) / chunk;
+    pending_.store(njobs);
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (int j = 0; j < njobs; ++j) {
+        int lo = j * chunk, hi = std::min(total, lo + chunk);
+        jobs_.emplace_back([=] { fn(lo, hi); });
+      }
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> lk(done_mu_);
+    done_cv_.wait(lk, [this] { return pending_.load() == 0; });
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::vector<std::function<void()>> jobs_;
+  std::mutex mu_, done_mu_;
+  std::condition_variable cv_, done_cv_;
+  bool stop_;
+  std::atomic<int> pending_;
+};
+
+enum class EnvKind { kCartPole, kPendulum };
+
+struct Pool {
+  EnvKind kind;
+  int num_envs;
+  int obs_dim;
+  int act_dim;   // continuous action dims (0 for discrete)
+  bool discrete;
+  std::vector<double> state;  // [num_envs * state_dim]
+  std::vector<int> t;
+  std::vector<Rng> rngs;
+  ThreadPool threads;
+
+  Pool(EnvKind k, int n, uint64_t seed, int nthreads)
+      : kind(k), num_envs(n), threads(nthreads) {
+    switch (kind) {
+      case EnvKind::kCartPole:
+        obs_dim = 4; act_dim = 0; discrete = true; state.resize(n * 4);
+        break;
+      case EnvKind::kPendulum:
+        obs_dim = 3; act_dim = 1; discrete = false; state.resize(n * 2);
+        break;
+    }
+    t.assign(n, 0);
+    rngs.reserve(n);
+    for (int i = 0; i < n; ++i) rngs.emplace_back(seed + 0x1000 * i + 1);
+  }
+
+  // ---- CartPole-v1 dynamics ------------------------------------------
+  void cartpole_reset(int i, float* obs) {
+    double* s = &state[i * 4];
+    for (int k = 0; k < 4; ++k) s[k] = rngs[i].uniform(-0.05, 0.05);
+    t[i] = 0;
+    for (int k = 0; k < 4; ++k) obs[k] = static_cast<float>(s[k]);
+  }
+  void cartpole_step(int i, double force_sign, float* obs, float* rew,
+                     uint8_t* term, uint8_t* trunc, float* carry) {
+    constexpr double kG = 9.8, kMc = 1.0, kMp = 0.1, kL = 0.5, kF = 10.0,
+                     kTau = 0.02, kXLim = 2.4;
+    const double kThetaLim = 12.0 * 2.0 * PI / 360.0;
+    double* s = &state[i * 4];
+    double x = s[0], xd = s[1], th = s[2], thd = s[3];
+    double force = force_sign > 0.5 ? kF : -kF;
+    double costh = std::cos(th), sinth = std::sin(th);
+    double total_mass = kMc + kMp, pml = kMp * kL;
+    double temp = (force + pml * thd * thd * sinth) / total_mass;
+    double thacc = (kG * sinth - costh * temp) /
+                   (kL * (4.0 / 3.0 - kMp * costh * costh / total_mass));
+    double xacc = temp - pml * thacc * costh / total_mass;
+    x += kTau * xd; xd += kTau * xacc; th += kTau * thd; thd += kTau * thacc;
+    s[0] = x; s[1] = xd; s[2] = th; s[3] = thd;
+    t[i] += 1;
+    bool terminated = std::fabs(x) > kXLim || std::fabs(th) > kThetaLim;
+    bool truncated = !terminated && t[i] >= 500;
+    obs[0] = (float)x; obs[1] = (float)xd; obs[2] = (float)th; obs[3] = (float)thd;
+    *rew = 1.0f;
+    *term = terminated; *trunc = truncated;
+    if (terminated || truncated) {
+      cartpole_reset(i, carry);
+    } else {
+      std::memcpy(carry, obs, 4 * sizeof(float));
+    }
+  }
+
+  // ---- Pendulum-v1 dynamics ------------------------------------------
+  void pendulum_obs(int i, float* obs) {
+    double* s = &state[i * 2];
+    obs[0] = (float)std::cos(s[0]);
+    obs[1] = (float)std::sin(s[0]);
+    obs[2] = (float)s[1];
+  }
+  void pendulum_reset(int i, float* obs) {
+    double* s = &state[i * 2];
+    s[0] = rngs[i].uniform(-PI, PI);
+    s[1] = rngs[i].uniform(-1.0, 1.0);
+    t[i] = 0;
+    pendulum_obs(i, obs);
+  }
+  void pendulum_step(int i, double u, float* obs, float* rew, uint8_t* term,
+                     uint8_t* trunc, float* carry) {
+    constexpr double kSpeed = 8.0, kTorque = 2.0, kDt = 0.05, kG = 10.0,
+                     kM = 1.0, kL = 1.0;
+    double* s = &state[i * 2];
+    double th = s[0], thd = s[1];
+    u = std::min(kTorque, std::max(-kTorque, u));
+    double th_norm = std::fmod(th + PI, 2.0 * PI);
+    if (th_norm < 0) th_norm += 2.0 * PI;
+    th_norm -= PI;
+    double cost = th_norm * th_norm + 0.1 * thd * thd + 0.001 * u * u;
+    thd += (3.0 * kG / (2.0 * kL) * std::sin(th) +
+            3.0 / (kM * kL * kL) * u) * kDt;
+    thd = std::min(kSpeed, std::max(-kSpeed, thd));
+    th += thd * kDt;
+    s[0] = th; s[1] = thd;
+    t[i] += 1;
+    bool truncated = t[i] >= 200;
+    pendulum_obs(i, obs);
+    *rew = (float)(-cost);
+    *term = 0; *trunc = truncated;
+    if (truncated) {
+      pendulum_reset(i, carry);
+    } else {
+      std::memcpy(carry, obs, 3 * sizeof(float));
+    }
+  }
+
+  void reset_all(float* obs_out) {
+    threads.run_chunks(num_envs, [&](int lo, int hi) {
+      for (int i = lo; i < hi; ++i) {
+        float* obs = obs_out + (size_t)i * obs_dim;
+        if (kind == EnvKind::kCartPole) cartpole_reset(i, obs);
+        else pendulum_reset(i, obs);
+      }
+    });
+  }
+
+  void step_all(const float* actions, float* obs_out, float* rew_out,
+                uint8_t* term_out, uint8_t* trunc_out, float* carry_out) {
+    threads.run_chunks(num_envs, [&](int lo, int hi) {
+      for (int i = lo; i < hi; ++i) {
+        float* obs = obs_out + (size_t)i * obs_dim;
+        float* carry = carry_out + (size_t)i * obs_dim;
+        if (kind == EnvKind::kCartPole) {
+          cartpole_step(i, actions[i], obs, rew_out + i, term_out + i,
+                        trunc_out + i, carry);
+        } else {
+          pendulum_step(i, actions[i], obs, rew_out + i, term_out + i,
+                        trunc_out + i, carry);
+        }
+      }
+    });
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* envpool_create(const char* name, int num_envs, uint64_t seed,
+                     int num_threads) {
+  EnvKind kind;
+  if (std::strcmp(name, "CartPole-v1") == 0) kind = EnvKind::kCartPole;
+  else if (std::strcmp(name, "Pendulum-v1") == 0) kind = EnvKind::kPendulum;
+  else return nullptr;
+  if (num_threads <= 0)
+    num_threads = std::max(1u, std::thread::hardware_concurrency() / 2);
+  return new Pool(kind, num_envs, seed, num_threads);
+}
+
+void envpool_destroy(void* p) { delete static_cast<Pool*>(p); }
+int envpool_obs_dim(void* p) { return static_cast<Pool*>(p)->obs_dim; }
+int envpool_discrete(void* p) { return static_cast<Pool*>(p)->discrete; }
+int envpool_act_dim(void* p) { return static_cast<Pool*>(p)->act_dim; }
+
+void envpool_reset(void* p, float* obs_out) {
+  static_cast<Pool*>(p)->reset_all(obs_out);
+}
+
+void envpool_step(void* p, const float* actions, float* obs_out,
+                  float* rew_out, uint8_t* term_out, uint8_t* trunc_out,
+                  float* carry_out) {
+  static_cast<Pool*>(p)->step_all(actions, obs_out, rew_out, term_out,
+                                  trunc_out, carry_out);
+}
+
+}  // extern "C"
