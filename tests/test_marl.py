@@ -5,6 +5,7 @@ MultiAgentPolicyManager beating a random opponent (the reference's
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tianshou_tpu.algos.base import RandomPolicy
 from tianshou_tpu.algos.dqn import DQN
@@ -83,3 +84,47 @@ def test_selfplay_dqn_beats_random():
     stats = col.collect_episodes(eval_ts, jax.random.key(6), 64, chunk_size=16)
     mean_ret = stats.returns_mean  # +1 win / 0 draw / -1 loss for agent 0
     assert mean_ret > 0.5, f"agent0 vs random mean return {mean_ret}"
+
+
+def test_pettingzoo_adapter_hosted():
+    """PettingZoo tictactoe through the host bridge + manager (smoke)."""
+    pz = pytest.importorskip("pettingzoo.classic")
+    from pettingzoo.classic import tictactoe_v3
+
+    from tianshou_tpu.collect.host_collector import HostCollector
+    from tianshou_tpu.envs.host import HostVectorEnv
+    from tianshou_tpu.envs.pettingzoo_env import PettingZooEnv
+
+    def make():
+        return PettingZooEnv(tictactoe_v3.env())
+
+    venv = HostVectorEnv([make for _ in range(4)])
+    obs = venv.reset(seed=0)
+    assert obs["obs"].shape == (4, 18)
+    assert obs["mask"].shape == (4, 9)
+
+    agents = [
+        DQN(
+            network=QNet((64, 64), 9),
+            action_space=venv.action_space,
+            gamma=0.95,
+            n_step=2,
+            target_update_freq=100,
+        )
+        for _ in range(2)
+    ]
+    manager = MultiAgentPolicyManager(agents)
+    buffer = ReplayBuffer(capacity=500, num_envs=4)
+    col = HostCollector(manager, venv, buffer)
+    col.reset(seed=0)
+    ts = manager.init(
+        jax.random.key(0), jax.tree.map(lambda x: jnp.asarray(x[0]), obs)
+    )
+    _, stats, traj = col.collect(
+        ts, None, 20, jax.random.key(1), explore=True, explore_param=0.5,
+        record_traj=True,
+    )
+    assert np.asarray(traj["rew"]).shape == (20, 4, 2)
+    assert np.asarray(traj["obs"]["mask"]).shape == (20, 4, 9)
+    assert stats.n_collected_episodes > 0
+    venv.close()

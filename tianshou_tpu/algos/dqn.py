@@ -64,11 +64,13 @@ class DQN(Algorithm):
     def _net_input(obs: Any) -> jax.Array:
         """Support dict observations with action masks (the reference's
         ``obs.mask`` pattern, ``dqn.py:158-164``, used by MARL envs)."""
-        return obs["obs"] if isinstance(obs, Batch) and "obs" in obs else obs
+        if isinstance(obs, (Batch, dict)) and "obs" in obs:
+            return obs["obs"]
+        return obs
 
     @staticmethod
     def _action_mask(obs: Any) -> jax.Array | None:
-        if isinstance(obs, Batch) and "mask" in obs:
+        if isinstance(obs, (Batch, dict)) and "mask" in obs:
             return obs["mask"].astype(bool)
         return None
 

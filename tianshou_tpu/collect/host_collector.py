@@ -60,6 +60,18 @@ class HostCollector:
         self.ep_ret[:] = 0
         self.ep_len[:] = 0
 
+    @staticmethod
+    def _device_obs(obs):
+        """Dict observations (MARL) become Batch pytrees on device."""
+        if isinstance(obs, dict):
+            return Batch(obs).to_jax()
+        return jnp.asarray(obs)
+
+    @staticmethod
+    def _scalar_rew(rew: np.ndarray) -> np.ndarray:
+        """Per-agent reward vectors tracked via the first agent's column."""
+        return rew if rew.ndim == 1 else rew[..., 0]
+
     # ------------------------------------------------------------------
     def collect(
         self,
@@ -80,12 +92,12 @@ class HostCollector:
         for t in range(num_steps):
             key, k_act = jax.random.split(key)
             raw_act, env_act, extras = act_fn(
-                ts, jnp.asarray(self.obs), k_act, explore_param
+                ts, self._device_obs(self.obs), k_act, explore_param
             )
             env_act_np = np.asarray(env_act)
             res, carry = self.venv.step(env_act_np)
             done = res.terminated | res.truncated
-            self.ep_ret += res.reward
+            self.ep_ret += self._scalar_rew(res.reward)
             self.ep_len += 1
             tr = Batch(
                 obs=self.obs,
@@ -135,10 +147,12 @@ class HostCollector:
         returns, lens = [], []
         for _ in range(max_steps):
             key, k_act = jax.random.split(key)
-            _, env_act, _ = act_fn(ts, jnp.asarray(self.obs), k_act, explore_param)
+            _, env_act, _ = act_fn(
+                ts, self._device_obs(self.obs), k_act, explore_param
+            )
             res, carry = self.venv.step(np.asarray(env_act))
             done = res.terminated | res.truncated
-            self.ep_ret += res.reward
+            self.ep_ret += self._scalar_rew(res.reward)
             self.ep_len += 1
             for i in np.nonzero(done)[0]:
                 if counts[i] < quota[i]:

@@ -31,6 +31,8 @@ __all__ = ["HostVectorEnv", "NormObsHostVectorEnv", "space_from_gym"]
 
 def space_from_gym(space) -> Any:
     """Convert a gymnasium space to our static space spec."""
+    if isinstance(space, (Discrete, Box, MultiDiscrete)):
+        return space  # already a native spec (e.g. PettingZooEnv adapter)
     import gymnasium as gym
 
     if isinstance(space, gym.spaces.Discrete):
@@ -55,6 +57,16 @@ class HostStepResult(NamedTuple):
     reward: np.ndarray
     terminated: np.ndarray
     truncated: np.ndarray
+
+
+def _stack_obs(items: list) -> Any:
+    """Stack per-env observations; supports dict observations (the MARL
+    ``{obs, mask, agent_id}`` convention) leaf-wise."""
+    if isinstance(items[0], dict):
+        return {k: _stack_obs([it[k] for it in items]) for k in items[0]}
+    return np.stack(items).astype(np.float32, copy=False) if np.asarray(
+        items[0]
+    ).dtype.kind == "f" else np.stack(items)
 
 
 class HostVectorEnv:
@@ -88,7 +100,7 @@ class HostVectorEnv:
         obs = list(
             self.pool.map(lambda ei: ei[0].reset(seed=ei[1])[0], zip(self.envs, seeds))
         )
-        return np.stack(obs)
+        return _stack_obs(obs)
 
     def step(self, actions: np.ndarray) -> tuple[HostStepResult, np.ndarray]:
         """Step all envs; returns (true transition result, carry obs)."""
@@ -103,15 +115,15 @@ class HostVectorEnv:
             return obs, rew, term, trunc, carry
 
         out = list(self.pool.map(_one, zip(self.envs, actions)))
-        obs, rew, term, trunc, carry = map(np.stack, zip(*out))
+        obs_l, rew_l, term_l, trunc_l, carry_l = zip(*out)
         return (
             HostStepResult(
-                obs.astype(np.float32, copy=False),
-                rew.astype(np.float32),
-                term.astype(bool),
-                trunc.astype(bool),
+                _stack_obs(list(obs_l)),
+                np.stack(rew_l).astype(np.float32),
+                np.stack(term_l).astype(bool),
+                np.stack(trunc_l).astype(bool),
             ),
-            carry.astype(np.float32, copy=False),
+            _stack_obs(list(carry_l)),
         )
 
     def close(self) -> None:
