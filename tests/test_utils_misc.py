@@ -280,3 +280,57 @@ def test_psrl_nchain():
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_trainer_checkpoint_and_resume(tmp_path):
+    """Per-epoch checkpoint hook + counter resume through the tensorboard
+    logger (reference resume_from_log semantics)."""
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+    from tianshou_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    env = CartPole()
+    saved = []
+
+    def make_trainer(resume):
+        algo = DQN(QNet((32,), 2), env.action_space, target_update_freq=50)
+        buffer = ReplayBuffer(capacity=200, num_envs=4)
+        return algo, OffPolicyTrainer(
+            algo,
+            Collector(algo, VectorEnv(env, 4), buffer),
+            Collector(algo, VectorEnv(env, 4)),
+            buffer,
+            max_epoch=2,
+            step_per_epoch=200,
+            step_per_collect=40,
+            update_per_step=0.1,
+            batch_size=32,
+            episode_per_test=2,
+            warmup_steps=50,
+            seed=0,
+            logger=TensorboardLogger(str(tmp_path)),
+            save_checkpoint_fn=lambda e, s, g: saved.append((e, s, g)),
+            resume_from_log=resume,
+        )
+
+    algo, trainer = make_trainer(resume=False)
+    info = trainer.run()
+    assert len(saved) == 2  # one checkpoint per epoch
+    assert saved[-1][0] == 2
+
+    # orbax round-trip of the full training state
+    path = save_checkpoint(str(tmp_path / "state"), trainer.train_state)
+    restored = restore_checkpoint(path, trainer.train_state)
+    assert int(restored.step) == int(trainer.train_state.step)
+
+    # resume: counters restored from the event log, epochs continue
+    algo2, trainer2 = make_trainer(resume=True)
+    trainer2.max_epoch = 3
+    info2 = trainer2.run()
+    assert info2.epoch == 3
+    assert info2.env_step > info.env_step  # continued past the restored count

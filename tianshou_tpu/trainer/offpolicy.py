@@ -51,6 +51,8 @@ class OffPolicyTrainer:
         logger: Any | None = None,
         seed: int = 0,
         save_best_fn: Callable[[TrainState], None] | None = None,
+        save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
+        resume_from_log: bool = False,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -70,6 +72,8 @@ class OffPolicyTrainer:
         self.logger = logger
         self.seed = seed
         self.save_best_fn = save_best_fn
+        self.save_checkpoint_fn = save_checkpoint_fn
+        self.resume_from_log = resume_from_log
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -148,6 +152,9 @@ class OffPolicyTrainer:
 
         env_step = 0
         grad_step = 0
+        start_epoch = 0
+        if self.resume_from_log and self.logger is not None:
+            start_epoch, env_step, grad_step = self.logger.restore_data()
         best_reward, best_reward_std = -np.inf, 0.0
         last_metrics: dict = {}
         if self.warmup_steps > 0:
@@ -162,7 +169,7 @@ class OffPolicyTrainer:
         updates_fn = self._build_update_scan()
         stop_triggered = False
         epoch = 0
-        for epoch in range(1, self.max_epoch + 1):
+        for epoch in range(start_epoch + 1, self.max_epoch + 1):
             steps_this_epoch = 0
             while steps_this_epoch < self.step_per_epoch:
                 explore_param = float(self.train_param_fn(epoch, env_step))
@@ -185,6 +192,12 @@ class OffPolicyTrainer:
                         },
                         env_step,
                     )
+            if self.logger is not None:
+                self.logger.save_data(
+                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                )
+            elif self.save_checkpoint_fn is not None:
+                self.save_checkpoint_fn(epoch, env_step, grad_step)
             key, k_test = jax.random.split(key)
             test_stats = self.test_collector.collect_episodes(
                 ts, k_test, self.episode_per_test,
@@ -234,6 +247,9 @@ class OffPolicyTrainer:
 
         env_step = 0
         grad_step = 0
+        start_epoch = 0
+        if self.resume_from_log and self.logger is not None:
+            start_epoch, env_step, grad_step = self.logger.restore_data()
         best_reward = -np.inf
         best_reward_std = 0.0
         last_metrics: dict = {}
@@ -255,7 +271,7 @@ class OffPolicyTrainer:
 
         stop_triggered = False
         epoch = 0
-        for epoch in range(1, self.max_epoch + 1):
+        for epoch in range(start_epoch + 1, self.max_epoch + 1):
             steps_this_epoch = 0
             epoch_train_rets: list[np.ndarray] = []
             while steps_this_epoch < self.step_per_epoch:
@@ -285,6 +301,14 @@ class OffPolicyTrainer:
                         },
                         env_step,
                     )
+
+            # per-epoch checkpoint + counter save (trainer/base.py:340-345)
+            if self.logger is not None:
+                self.logger.save_data(
+                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                )
+            elif self.save_checkpoint_fn is not None:
+                self.save_checkpoint_fn(epoch, env_step, grad_step)
 
             # test phase
             key, k_test = jax.random.split(key)

@@ -43,6 +43,8 @@ class OnPolicyTrainer:
         logger: Any | None = None,
         seed: int = 0,
         save_best_fn: Callable[[TrainState], None] | None = None,
+        save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
+        resume_from_log: bool = False,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -56,6 +58,8 @@ class OnPolicyTrainer:
         self.logger = logger
         self.seed = seed
         self.save_best_fn = save_best_fn
+        self.save_checkpoint_fn = save_checkpoint_fn
+        self.resume_from_log = resume_from_log
 
         num_envs = train_collector.venv.num_envs
         self.segment_len = max(1, step_per_collect // num_envs)
@@ -168,6 +172,9 @@ class OnPolicyTrainer:
 
         env_step = 0
         grad_step = 0
+        start_epoch = 0
+        if self.resume_from_log and self.logger is not None:
+            start_epoch, env_step, grad_step = self.logger.restore_data()
         best_reward, best_reward_std = -np.inf, 0.0
         last_metrics: dict = {}
         stop_triggered = False
@@ -175,7 +182,7 @@ class OnPolicyTrainer:
         updates_per_segment = self.repeat_per_collect * max(
             1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
         )
-        for epoch in range(1, self.max_epoch + 1):
+        for epoch in range(start_epoch + 1, self.max_epoch + 1):
             steps_this_epoch = 0
             while steps_this_epoch < self.step_per_epoch:
                 key, k_c, k_u = jax.random.split(key, 3)
@@ -197,6 +204,12 @@ class OnPolicyTrainer:
                         },
                         env_step,
                     )
+            if self.logger is not None:
+                self.logger.save_data(
+                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                )
+            elif self.save_checkpoint_fn is not None:
+                self.save_checkpoint_fn(epoch, env_step, grad_step)
             key, k_test = jax.random.split(key)
             test_stats = self.test_collector.collect_episodes(
                 ts, k_test, self.episode_per_test, explore=False
@@ -241,6 +254,9 @@ class OnPolicyTrainer:
 
         env_step = 0
         grad_step = 0
+        start_epoch = 0
+        if self.resume_from_log and self.logger is not None:
+            start_epoch, env_step, grad_step = self.logger.restore_data()
         best_reward = -np.inf
         best_reward_std = 0.0
         last_metrics: dict = {}
@@ -250,7 +266,7 @@ class OnPolicyTrainer:
             1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
         )
 
-        for epoch in range(1, self.max_epoch + 1):
+        for epoch in range(start_epoch + 1, self.max_epoch + 1):
             steps_this_epoch = 0
             while steps_this_epoch < self.step_per_epoch:
                 key, k_step = jax.random.split(key)
@@ -270,6 +286,12 @@ class OnPolicyTrainer:
                         env_step,
                     )
 
+            if self.logger is not None:
+                self.logger.save_data(
+                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                )
+            elif self.save_checkpoint_fn is not None:
+                self.save_checkpoint_fn(epoch, env_step, grad_step)
             key, k_test = jax.random.split(key)
             test_stats = self.test_collector.collect_episodes(
                 ts, k_test, self.episode_per_test, explore=False
