@@ -1,0 +1,93 @@
+"""Async collection tests with sleep-jittered envs (the reference's
+``test_env.py:55-160`` strategy: slow envs must not block fast ones)."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+gym = pytest.importorskip("gymnasium")
+
+from tianshou_tpu.algos.base import RandomPolicy
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.collect.async_collector import (
+    AsyncHostCollector,
+    AsyncHostVectorEnv,
+)
+from tianshou_tpu.data.buffer import ReplayBuffer
+from tianshou_tpu.envs.spaces import Discrete
+
+
+class SleepyCorridor(gym.Env):
+    """Deterministic corridor with a per-env constant step delay; obs[0]
+    encodes the env's position, obs[1] its identity."""
+
+    def __init__(self, env_id: int, delay: float, size: int = 5):
+        self.env_id = env_id
+        self.delay = delay
+        self.size = size
+        self.observation_space = gym.spaces.Box(-100, 100, shape=(2,))
+        self.action_space = gym.spaces.Discrete(2)
+
+    def reset(self, seed=None, options=None):
+        self.pos = 0
+        return np.array([0.0, self.env_id], np.float32), {}
+
+    def step(self, action):
+        time.sleep(self.delay)
+        self.pos += int(action)
+        term = self.pos >= self.size
+        return (
+            np.array([self.pos, self.env_id], np.float32),
+            1.0 if term else 0.0,
+            term,
+            False,
+            {},
+        )
+
+
+def test_async_fast_envs_not_blocked_by_slow():
+    delays = [0.0005, 0.0005, 0.0005, 0.05]  # env 3 is 100x slower
+    venv = AsyncHostVectorEnv(
+        [lambda i=i, d=d: SleepyCorridor(i, d) for i, d in enumerate(delays)],
+        wait_num=1,
+    )
+    algo = RandomPolicy(Discrete(2))
+    buffer = ReplayBuffer(capacity=256, num_envs=4)
+    col = AsyncHostCollector(algo, venv, buffer)
+    col.reset(seed=0)
+    ts = algo.init(jax.random.key(0), None)
+    bstate = buffer.init(
+        Batch(
+            obs=np.zeros(2, np.float32),
+            act=np.zeros((), np.int32),
+            rew=np.zeros((), np.float32),
+            terminated=np.zeros((), bool),
+            truncated=np.zeros((), bool),
+            obs_next=np.zeros(2, np.float32),
+        )
+    )
+    t0 = time.time()
+    bstate, stats = col.collect(ts, bstate, 120, jax.random.key(1))
+    dt = time.time() - t0
+    sizes = np.asarray(bstate.size)
+    # fast envs contributed many more transitions than the slow one
+    assert sizes[:3].min() > 3 * sizes[3], sizes
+    assert stats.n_collected_steps >= 120
+    # synchronous stepping would need >= 30 rounds x 0.05s for env 3 alone
+    # if every env waited for the slowest; async must be well under that
+    # (loose bound to avoid flakiness on busy CI)
+    assert dt < 0.05 * 120, dt
+
+    # transitions are internally consistent per env: obs[1] identifies the
+    # env, and the recorded action moves obs -> obs_next
+    store = bstate.storage
+    for e in range(4):
+        k = int(sizes[e])
+        obs = np.asarray(store["obs"])[e, :k]
+        obs_next = np.asarray(store["obs_next"])[e, :k]
+        act = np.asarray(store["act"])[e, :k]
+        assert np.all(obs[:, 1] == e)
+        np.testing.assert_allclose(obs_next[:, 0], obs[:, 0] + act)
+    venv.close()

@@ -105,6 +105,31 @@ class ReplayBuffer:
             size=jnp.minimum(state.size + 1, self.capacity),
         )
 
+    def add_masked(
+        self,
+        state: ReplayBufferState,
+        transition: Batch | Any,
+        mask: jax.Array,
+    ) -> ReplayBufferState:
+        """Write one transition for the envs where ``mask`` is True only
+        (the async-collection path: not all envs produce a transition every
+        tick, reference ``AsyncCollector`` ``collector.py:671-943``)."""
+        env_ids = jnp.arange(self.num_envs)
+        mask = mask.astype(bool)
+
+        def _write(buf, val):
+            old = buf[env_ids, state.cursor]
+            m = mask.reshape(mask.shape + (1,) * (jnp.ndim(val) - 1))
+            return buf.at[env_ids, state.cursor].set(jnp.where(m, val, old))
+
+        storage = jax.tree.map(_write, state.storage, transition)
+        inc = mask.astype(jnp.int32)
+        return state.replace(
+            storage=storage,
+            cursor=(state.cursor + inc) % self.capacity,
+            size=jnp.minimum(state.size + inc, self.capacity),
+        )
+
     def add_trajectory(self, state: ReplayBufferState, traj: Batch | Any) -> ReplayBufferState:
         """Write a whole ``[T, num_envs, ...]`` rollout via ``lax.scan``."""
 
