@@ -334,3 +334,42 @@ def test_trainer_checkpoint_and_resume(tmp_path):
     info2 = trainer2.run()
     assert info2.epoch == 3
     assert info2.env_step > info.env_step  # continued past the restored count
+
+
+def test_test_in_train_early_stop():
+    """Opportunistic in-training testing stops as soon as train returns
+    clear the bar and the test phase confirms (trainer/base.py:469-510)."""
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = CartPole()
+    algo = DQN(
+        QNet((128, 128, 128), 2), env.action_space, gamma=0.9, n_step=3,
+        target_update_freq=320,
+    )
+    buffer = ReplayBuffer(capacity=2000, num_envs=10)
+    trainer = OffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 10), buffer),
+        Collector(algo, VectorEnv(env, 10)),
+        buffer,
+        max_epoch=5,
+        step_per_epoch=50000,  # huge epoch: only test_in_train can stop it
+        step_per_collect=100,
+        update_per_step=0.1,
+        batch_size=64,
+        train_param_fn=lambda e, s: 0.1,
+        stop_fn=lambda rew: rew >= 150,
+        warmup_steps=1000,
+        seed=0,
+        test_in_train=True,
+    )
+    info = trainer.run()
+    assert info.stop_triggered
+    assert info.best_reward >= 150
+    assert info.env_step < 50000  # stopped inside the first epoch

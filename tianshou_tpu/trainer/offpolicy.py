@@ -53,6 +53,7 @@ class OffPolicyTrainer:
         save_best_fn: Callable[[TrainState], None] | None = None,
         save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
         resume_from_log: bool = False,
+        test_in_train: bool = False,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -74,6 +75,7 @@ class OffPolicyTrainer:
         self.save_best_fn = save_best_fn
         self.save_checkpoint_fn = save_checkpoint_fn
         self.resume_from_log = resume_from_log
+        self.test_in_train = test_in_train
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -289,6 +291,25 @@ class OffPolicyTrainer:
                 stats = Collector.summarize(outputs, self.steps_per_segment)
                 if stats.returns.size:
                     epoch_train_rets.append(stats.returns)
+                # opportunistic in-training test (trainer/base.py:469-510):
+                # when training returns already clear the bar, confirm with
+                # a real test phase and stop early
+                if (
+                    self.test_in_train
+                    and self.stop_fn is not None
+                    and stats.returns.size
+                    and self.stop_fn(stats.returns_mean)
+                ):
+                    key, k_tt = jax.random.split(key)
+                    tt = self.test_collector.collect_episodes(
+                        ts, k_tt, self.episode_per_test,
+                        explore=False, explore_param=self.test_param,
+                    )
+                    if self.stop_fn(tt.returns_mean):
+                        best_reward = max(best_reward, tt.returns_mean)
+                        best_reward_std = tt.returns_std
+                        stop_triggered = True
+                        break
                 last_metrics = {
                     k: float(v) for k, v in metrics.items()
                 }
@@ -302,6 +323,8 @@ class OffPolicyTrainer:
                         env_step,
                     )
 
+            if stop_triggered:
+                break
             # per-epoch checkpoint + counter save (trainer/base.py:340-345)
             if self.logger is not None:
                 self.logger.save_data(
