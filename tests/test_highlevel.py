@@ -114,3 +114,43 @@ def test_iqm_properties():
     # robust to outliers
     x = np.asarray([1.0] * 10 + [1e9])
     assert iqm(x) == 1.0
+
+
+def test_offline_builder_smoke(tmp_path):
+    """Offline builder pipeline: generate a tiny dataset, save HDF5, BC
+    through the high-level API."""
+    import jax
+
+    from tianshou_tpu.algos.base import RandomPolicy
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.data.persistence import save_buffer_hdf5
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import Pendulum
+    from tianshou_tpu.highlevel.experiment import BCExperimentBuilder
+
+    env = Pendulum()
+    algo = RandomPolicy(env.action_space)
+    buffer = ReplayBuffer(capacity=200, num_envs=4)
+    col = Collector(algo, VectorEnv(env, 4), buffer)
+    cstate = col.reset(jax.random.key(0))
+    ts = algo.init(jax.random.key(1), None)
+    bstate = buffer.init(col.example_transition(ts, cstate))
+    _, bstate, _, _ = col.collect(ts, cstate, bstate, 50)
+    path = str(tmp_path / "data.h5")
+    save_buffer_hdf5(path, bstate)
+
+    result = (
+        BCExperimentBuilder(
+            JaxEnvFactory("Pendulum-v1"),
+            config=ExperimentConfig(logger="none", checkpoint_best=False),
+            sampling=SamplingConfig(
+                num_epochs=1, step_per_epoch=100, batch_size=32,
+                num_test_envs=2, episode_per_test=2,
+            ),
+        )
+        .with_offline_data(path)
+        .build()
+        .run()
+    )
+    assert result.info.gradient_step >= 100

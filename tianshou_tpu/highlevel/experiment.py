@@ -39,6 +39,9 @@ __all__ = [
     "ExperimentResult",
     "Experiment",
     "ExperimentBuilder",
+    "BCExperimentBuilder",
+    "CQLExperimentBuilder",
+    "TD3BCExperimentBuilder",
     "DQNExperimentBuilder",
     "PPOExperimentBuilder",
     "SACExperimentBuilder",
@@ -83,13 +86,15 @@ class Experiment:
         env_factory: EnvFactory,
         algo_factory: Callable[[Environments], Algorithm],
         sampling: SamplingConfig,
-        trainer_kind: Literal["onpolicy", "offpolicy"],
+        trainer_kind: Literal["onpolicy", "offpolicy", "offline"],
+        offline_data_path: str | None = None,
     ):
         self.config = config
         self.env_factory = env_factory
         self.algo_factory = algo_factory
         self.sampling = sampling
         self.trainer_kind = trainer_kind
+        self.offline_data_path = offline_data_path
 
     # -- persistence (reference Experiment pickling + from_directory) -------
     def save(self, directory: str) -> None:
@@ -125,7 +130,35 @@ class Experiment:
             def save_best_fn(ts):
                 save_checkpoint(ckpt_dir, ts)
 
-        if self.trainer_kind == "offpolicy":
+        if self.trainer_kind == "offline":
+            from tianshou_tpu.data.persistence import load_buffer_hdf5
+            from tianshou_tpu.trainer.offline import OfflineTrainer
+
+            assert self.offline_data_path is not None
+            bstate = load_buffer_hdf5(self.offline_data_path)
+            buffer = ReplayBuffer(
+                capacity=bstate.capacity, num_envs=bstate.num_envs
+            )
+            test_col = (
+                Collector(algo, envs.test_venv)
+                if envs.backend == "jax"
+                else HostCollector(algo, envs.test_venv)
+            )
+            trainer = OfflineTrainer(
+                algo,
+                buffer,
+                bstate,
+                test_col,
+                max_epoch=sampling.num_epochs,
+                update_per_epoch=sampling.step_per_epoch,
+                batch_size=sampling.batch_size,
+                episode_per_test=sampling.episode_per_test,
+                stop_fn=cfg.stop_fn,
+                logger=logger,
+                seed=cfg.seed,
+                save_best_fn=save_best_fn,
+            )
+        elif self.trainer_kind == "offpolicy":
             buf_cls = (
                 PrioritizedReplayBuffer if sampling.prioritized_buffer else ReplayBuffer
             )
@@ -239,7 +272,14 @@ class ExperimentBuilder:
             algo_factory=self._make_algo,
             sampling=self.sampling,
             trainer_kind=self.trainer_kind,
+            offline_data_path=getattr(self, "offline_data_path", None),
         )
+
+    def with_offline_data(self, path: str):
+        """HDF5 replay dataset for offline builders (the analog of the
+        reference's expert-buffer wiring in offline examples)."""
+        self.offline_data_path = path
+        return self
 
     def build_seeded_collection(self, num_seeds: int) -> list[Experiment]:
         """Identical experiments differing only by seed
@@ -543,6 +583,56 @@ class DDPGExperimentBuilder(ExperimentBuilder):
         return DDPG(
             actor=DeterministicActor((256, 256), envs.action_space.shape[0]),
             critic=CriticEnsemble((256, 256), num_critics=1),
+            action_space=envs.action_space,
+        )
+
+
+class BCExperimentBuilder(ExperimentBuilder):
+    """Behavior cloning from an HDF5 dataset (offline)."""
+
+    trainer_kind = "offline"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.offline import BC
+        from tianshou_tpu.networks.common import QNet
+        from tianshou_tpu.networks.continuous import DeterministicActor
+
+        if isinstance(envs.action_space, Discrete):
+            actor = QNet((128, 128), envs.action_space.n)
+        else:
+            actor = DeterministicActor((128, 128), envs.action_space.shape[0])
+        return BC(actor, envs.action_space)
+
+
+class CQLExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offline"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.offline import CQL
+        from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+
+        return CQL(
+            actor=GaussianActor(
+                (256, 256), envs.action_space.shape[0], conditioned_sigma=True
+            ),
+            critic=CriticEnsemble((256, 256), num_critics=2),
+            action_space=envs.action_space,
+        )
+
+
+class TD3BCExperimentBuilder(ExperimentBuilder):
+    trainer_kind = "offline"
+
+    def _make_algo(self, envs: Environments) -> Algorithm:
+        from tianshou_tpu.algos.offline import TD3BC
+        from tianshou_tpu.networks.continuous import (
+            CriticEnsemble,
+            DeterministicActor,
+        )
+
+        return TD3BC(
+            actor=DeterministicActor((256, 256), envs.action_space.shape[0]),
+            critic=CriticEnsemble((256, 256), num_critics=2),
             action_space=envs.action_space,
         )
 

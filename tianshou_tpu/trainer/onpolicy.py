@@ -45,6 +45,7 @@ class OnPolicyTrainer:
         save_best_fn: Callable[[TrainState], None] | None = None,
         save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
         resume_from_log: bool = False,
+        test_in_train: bool = False,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -60,6 +61,7 @@ class OnPolicyTrainer:
         self.save_best_fn = save_best_fn
         self.save_checkpoint_fn = save_checkpoint_fn
         self.resume_from_log = resume_from_log
+        self.test_in_train = test_in_train
 
         num_envs = train_collector.venv.num_envs
         self.segment_len = max(1, step_per_collect // num_envs)
@@ -204,6 +206,8 @@ class OnPolicyTrainer:
                         },
                         env_step,
                     )
+            if stop_triggered:
+                break
             if self.logger is not None:
                 self.logger.save_data(
                     epoch, env_step, grad_step, self.save_checkpoint_fn
@@ -276,6 +280,21 @@ class OnPolicyTrainer:
                 grad_step += updates_per_segment
                 stats = Collector.summarize(outputs, self.steps_per_segment)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                if (
+                    self.test_in_train
+                    and self.stop_fn is not None
+                    and stats.returns.size
+                    and self.stop_fn(stats.returns_mean)
+                ):
+                    key, k_tt = jax.random.split(key)
+                    tt = self.test_collector.collect_episodes(
+                        ts, k_tt, self.episode_per_test, explore=False
+                    )
+                    if self.stop_fn(tt.returns_mean):
+                        best_reward = max(best_reward, tt.returns_mean)
+                        best_reward_std = tt.returns_std
+                        stop_triggered = True
+                        break
                 if self.logger is not None:
                     self.logger.log_train_data(
                         {
@@ -286,6 +305,8 @@ class OnPolicyTrainer:
                         env_step,
                     )
 
+            if stop_triggered:
+                break
             if self.logger is not None:
                 self.logger.save_data(
                     epoch, env_step, grad_step, self.save_checkpoint_fn
