@@ -98,9 +98,16 @@ class Experiment:
 
     # -- persistence (reference Experiment pickling + from_directory) -------
     def save(self, directory: str) -> None:
+        """Persist the experiment configuration.  Uses cloudpickle (the
+        reference depends on it for env closures, ``env/utils.py``) so
+        lambda callbacks survive."""
         os.makedirs(directory, exist_ok=True)
+        try:
+            import cloudpickle as pickler
+        except ImportError:  # pragma: no cover
+            pickler = pickle
         with open(os.path.join(directory, "experiment.pkl"), "wb") as f:
-            pickle.dump(self, f)
+            pickler.dump(self, f)
 
     @staticmethod
     def from_directory(directory: str) -> "Experiment":
