@@ -58,8 +58,6 @@ def test_cat_and_stack():
     assert c.n.y.shape == (5,)
     s = Batch.stack([b1, b1])
     assert s.x.shape == (2, 2, 3)
-    with pytest.raises(ValueError):
-        Batch.cat([b1, Batch(z=np.ones(2))])
 
 
 def test_split():
@@ -105,3 +103,19 @@ def test_to_jax_numpy():
     assert isinstance(b.x, jax.Array)
     b = b.to_numpy()
     assert isinstance(b.x, np.ndarray)
+
+
+def test_cat_zero_pads_missing_keys():
+    """Missing keys are zero-filled on concatenation (reference
+    ``batch.py:764`` padding semantics)."""
+    b1 = Batch(x=np.ones((2, 3)), extra=np.ones(2))
+    b2 = Batch(x=np.zeros((3, 3)))
+    c = Batch.cat([b1, b2])
+    assert c.x.shape == (5, 3)
+    np.testing.assert_allclose(np.asarray(c.extra), [1, 1, 0, 0, 0])
+    # nested missing sub-batch
+    b3 = Batch(x=np.ones((2, 3)), n=Batch(y=np.ones((2, 4))))
+    b4 = Batch(x=np.zeros((1, 3)))
+    c2 = Batch.cat([b3, b4])
+    assert c2.n.y.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(c2.n.y)[2], 0.0)

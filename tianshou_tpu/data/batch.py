@@ -193,17 +193,47 @@ class Batch:
 
     # -- combination -------------------------------------------------------
     @staticmethod
+    def _pad_missing(batches: list[Batch]) -> list[Batch]:
+        """Zero-fill keys that only some batches carry (the reference's
+        cat/stack padding semantics, ``batch.py:764,804``): a missing leaf
+        is replaced by zeros shaped like a present one, with the leading
+        dim taken from the batch that lacks it."""
+        all_keys: dict[str, Any] = {}
+        for b in batches:
+            for k, v in b.items():
+                all_keys.setdefault(k, v)
+        out = []
+        for b in batches:
+            if set(b.keys()) == set(all_keys):
+                out.append(b)
+                continue
+            n = len(b)
+            filled = Batch(b)
+            for k, proto in all_keys.items():
+                if k in filled:
+                    continue
+                if isinstance(proto, Batch):
+                    zeros = jax.tree.map(
+                        lambda x: np.zeros((n,) + np.shape(x)[1:],
+                                           np.asarray(x).dtype),
+                        proto,
+                    )
+                else:
+                    zeros = np.zeros(
+                        (n,) + np.shape(proto)[1:], np.asarray(proto).dtype
+                    )
+                filled[k] = zeros
+            out.append(filled)
+        return out
+
+    @staticmethod
     def cat(batches: Sequence[Batch], axis: int = 0) -> Batch:
-        """Concatenate batches along ``axis``; key sets must match."""
+        """Concatenate batches along ``axis``; keys missing from some
+        batches are zero-padded (reference ``cat_`` semantics)."""
         batches = [b for b in batches if not b.is_empty(recurse=True)]
         if not batches:
             return Batch()
-        keys = set(batches[0].keys())
-        for b in batches[1:]:
-            if set(b.keys()) != keys:
-                raise ValueError(
-                    f"Batch.cat requires identical keys, got {keys} vs {set(b.keys())}"
-                )
+        batches = Batch._pad_missing(list(batches))
         return jax.tree.map(
             lambda *xs: (
                 np.concatenate(xs, axis=axis)
