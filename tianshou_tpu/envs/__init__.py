@@ -2,10 +2,11 @@
 
 from tianshou_tpu.envs.base import JaxEnv, StepResult, VectorEnv
 from tianshou_tpu.envs.classic import make_env
+from tianshou_tpu.envs.minatar import make_minatar
 from tianshou_tpu.envs.norm import NormObsVectorEnv
 from tianshou_tpu.envs.spaces import Box, Discrete, MultiDiscrete
 
 __all__ = [
-    "Box", "Discrete", "JaxEnv", "make_env", "MultiDiscrete",
+    "Box", "Discrete", "JaxEnv", "make_env", "make_minatar", "MultiDiscrete",
     "NormObsVectorEnv", "StepResult", "VectorEnv",
 ]

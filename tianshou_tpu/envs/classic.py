@@ -373,6 +373,10 @@ _REGISTRY = {
 def make_env(name: str) -> JaxEnv:
     """Factory over the pure-JAX env registry (analog of ``gym.make`` in the
     reference's ``EnvFactoryRegistered``, ``highlevel/env.py``)."""
+    if name.lower().startswith("minatar"):
+        from tianshou_tpu.envs.minatar import make_minatar
+
+        return make_minatar(name)
     if name not in _REGISTRY:
         raise KeyError(f"Unknown JAX env {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[name]()
