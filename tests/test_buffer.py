@@ -212,3 +212,55 @@ def test_her_rewrite_semantics():
     )
     # obs and obs_next carry the same rewritten goal
     np.testing.assert_allclose(obs[:, 2], obs_next[:, 2])
+
+
+def test_merge_copies_valid_entries_oldest_first():
+    dst = ReplayBuffer(capacity=8, num_envs=1)
+    dst_st = dst.init(_example())
+    for i in range(2):
+        dst_st = dst.add(dst_st, _tr(i).to_jax())
+    src = ReplayBuffer(capacity=4, num_envs=1)
+    src_st = src.init(_example())
+    for i in range(6):  # wraps: holds 2,3,4,5
+        src_st = src.add(src_st, _tr(10 + i).to_jax())
+    merged = dst.merge(dst_st, src, src_st)
+    assert int(merged.size[0]) == 6
+    # chronological contents: 0,1 then src's oldest-first 12,13,14,15
+    acts = np.asarray(merged.storage["act"][0])[:6]
+    assert list(acts) == [0, 1, 12, 13, 14, 15]
+
+
+def test_merge_partial_source_and_overflow():
+    dst = ReplayBuffer(capacity=4, num_envs=2)
+    dst_st = dst.init(_example())
+    for i in range(3):
+        dst_st = dst.add(dst_st, _tr(i, num_envs=2).to_jax())
+    src = ReplayBuffer(capacity=4, num_envs=2)
+    src_st = src.init(_example())
+    for i in range(2):  # only 2 valid entries, capacity 4
+        src_st = src.add(src_st, _tr(20 + i, num_envs=2).to_jax())
+    merged = dst.merge(dst_st, src, src_st)
+    # 3 + 2 = 5 > capacity 4: size saturates, oldest (act 0) evicted
+    assert list(np.asarray(merged.size)) == [4, 4]
+    acts = sorted(np.asarray(merged.storage["act"][0]).tolist())
+    assert acts == [1, 2, 20, 21]
+
+
+def test_from_data_builds_full_buffer():
+    n = 7
+    data = Batch(
+        obs=np.arange(n * 2, dtype=np.float32).reshape(n, 2),
+        act=np.arange(n, dtype=np.int32),
+        rew=np.ones(n, np.float32),
+        terminated=np.zeros(n, bool),
+        truncated=np.zeros(n, bool),
+        obs_next=np.arange(n * 2, dtype=np.float32).reshape(n, 2) + 2,
+    )
+    buf, st = ReplayBuffer.from_data(data)
+    assert buf.capacity == n and buf.num_envs == 1
+    assert int(st.size[0]) == n
+    batch, env_idx, pos = buf.sample(st, jax.random.key(1), 64)
+    assert np.asarray(batch["act"]).max() < n
+    # chronological view round-trips the dataset
+    chron = buf.chronological(st)
+    np.testing.assert_array_equal(np.asarray(chron["act"])[:, 0], data["act"])

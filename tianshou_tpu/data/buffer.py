@@ -284,6 +284,55 @@ class ReplayBuffer:
         frames = [obs[env_idx, p] for p in positions]
         return jnp.stack(frames, axis=1)
 
+    # -- merging / construction from datasets -------------------------------
+    def merge(
+        self,
+        state: ReplayBufferState,
+        src: "ReplayBuffer",
+        src_state: ReplayBufferState,
+    ) -> ReplayBufferState:
+        """Copy every valid entry of ``src_state`` (oldest-first, per env)
+        into ``state`` — the reference's ``ReplayBuffer.update(buffer)``
+        merge (``buffer/base.py:192-214``), as a pure jittable op.
+
+        Requires matching ``num_envs`` and storage keys.  Entries are
+        written through the normal ring cursor, so overflow evicts the
+        oldest entries of ``state`` exactly like repeated ``add`` calls.
+        """
+        assert src.num_envs == self.num_envs, "merge requires equal num_envs"
+        env_ids = jnp.arange(self.num_envs)
+        start = (src_state.cursor - src_state.size) % src.capacity
+
+        def _body(st, t):
+            pos = (start + t) % src.capacity
+            tr = tree_slice(src_state.storage, (env_ids, pos))
+            mask = t < src_state.size
+            return self.add_masked(st, tr, mask), None
+
+        state, _ = jax.lax.scan(_body, state, jnp.arange(src.capacity))
+        return state
+
+    @classmethod
+    def from_data(
+        cls, data: Batch | Any, stack_num: int = 1
+    ) -> tuple["ReplayBuffer", ReplayBufferState]:
+        """Build a full buffer directly from a transition dataset.
+
+        ``data`` leaves are ``[N, ...]`` (a flat trajectory dataset, e.g.
+        loaded from HDF5/D4RL) — the reference's ``ReplayBuffer.from_data``
+        (``buffer/base.py:123-153``).  Returns a single-env buffer of
+        capacity ``N`` that is exactly full.
+        """
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        buf = cls(capacity=n, num_envs=1, stack_num=stack_num)
+        storage = jax.tree.map(lambda x: jnp.asarray(x)[None], data)
+        state = ReplayBufferState(
+            storage=storage,
+            cursor=jnp.zeros((1,), jnp.int32),
+            size=jnp.full((1,), n, jnp.int32),
+        )
+        return buf, state
+
     # -- bulk views --------------------------------------------------------
     def chronological(self, state: ReplayBufferState) -> Batch:
         """Full buffer in time order per env: leaves ``[capacity, num_envs, ...]``.
