@@ -69,6 +69,13 @@ class CollectStats:
         return float(self.lens.mean()) if self.lens.size else 0.0
 
 
+def _default_reward_metric(rew: jax.Array) -> jax.Array:
+    """Scalarize per-agent reward vectors [N, n_agents] -> [N] via the first
+    agent's column (the reference's default when no ``reward_metric`` hook is
+    given, ``trainer/base.py``)."""
+    return rew if rew.ndim == 1 else rew[..., 0]
+
+
 def rollout_segment(
     algo: Algorithm,
     venv: VectorEnv,
@@ -76,6 +83,7 @@ def rollout_segment(
     num_steps: int,
     explore: bool,
     record_traj: bool,
+    reward_metric=None,
 ):
     """Build the pure segment function
     ``(ts, cstate, bstate, explore_param) -> (cstate, bstate, outputs)``.
@@ -83,7 +91,12 @@ def rollout_segment(
     ``outputs`` is a dict of time-major arrays; when ``record_traj`` it also
     holds the full ``[T, N, ...]`` transition trajectory (the on-policy path,
     replacing buffer round-trips entirely).
+
+    ``reward_metric`` is the jittable analog of the reference's MARL
+    ``reward_metric`` trainer hook: ``[N, n_agents] -> [N]`` scalarization of
+    per-agent reward vectors for episode statistics.
     """
+    reward_metric = reward_metric or _default_reward_metric
 
     def seg(ts: TrainState, cstate: CollectState, bstate, explore_param):
         def body(carry, _):
@@ -95,12 +108,7 @@ def rollout_segment(
             env_act = algo.map_action(act)
             env_state, res, carry_obs = venv.step(cst.env_state, env_act, k_env)
             done = res.terminated | res.truncated
-            # MARL envs emit per-agent reward vectors [N, n_agents]; episode
-            # stats track the first agent (the reference's reward_metric
-            # hook default, ``trainer/base.py`` reward_metric)
-            rew_scalar = (
-                res.reward if res.reward.ndim == 1 else res.reward[..., 0]
-            )
+            rew_scalar = reward_metric(res.reward)
             # reset recurrent state on episode boundaries
             init_pstate = algo.init_policy_state(venv.num_envs)
             pstate = jax.tree.map(
@@ -161,10 +169,12 @@ class Collector:
         algo: Algorithm,
         venv: VectorEnv,
         buffer: ReplayBuffer | None = None,
+        reward_metric=None,
     ):
         self.algo = algo
         self.venv = venv
         self.buffer = buffer
+        self.reward_metric = reward_metric
         self._jit_cache: dict = {}
 
     # -- state management --------------------------------------------------
@@ -206,7 +216,8 @@ class Collector:
         k = (num_steps, explore, record_traj)
         if k not in self._jit_cache:
             seg = rollout_segment(
-                self.algo, self.venv, self.buffer, num_steps, explore, record_traj
+                self.algo, self.venv, self.buffer, num_steps, explore,
+                record_traj, self.reward_metric,
             )
             self._jit_cache[k] = jax.jit(seg)
         return self._jit_cache[k]

@@ -34,10 +34,12 @@ class HostCollector:
         algo: Algorithm,
         venv: HostVectorEnv,
         buffer: ReplayBuffer | None = None,
+        reward_metric=None,
     ):
         self.algo = algo
         self.venv = venv
         self.buffer = buffer
+        self.reward_metric = reward_metric
         self.obs: np.ndarray | None = None
         self.ep_ret = np.zeros(venv.num_envs)
         self.ep_len = np.zeros(venv.num_envs, np.int64)
@@ -67,9 +69,12 @@ class HostCollector:
             return Batch(obs).to_jax()
         return jnp.asarray(obs)
 
-    @staticmethod
-    def _scalar_rew(rew: np.ndarray) -> np.ndarray:
-        """Per-agent reward vectors tracked via the first agent's column."""
+    def _scalar_rew(self, rew: np.ndarray) -> np.ndarray:
+        """MARL ``reward_metric`` hook (reference ``trainer/base.py``):
+        per-agent reward vectors scalarized for episode stats; the default
+        tracks the first agent's column."""
+        if self.reward_metric is not None:
+            return np.asarray(self.reward_metric(rew))
         return rew if rew.ndim == 1 else rew[..., 0]
 
     # ------------------------------------------------------------------

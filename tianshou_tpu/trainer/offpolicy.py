@@ -25,6 +25,7 @@ from tianshou_tpu.collect.collector import CollectState, Collector
 from tianshou_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from tianshou_tpu.data.stats import InfoStats
 from tianshou_tpu.collect.collector import rollout_segment
+from tianshou_tpu.trainer.hooks import MetricSmoother, RunContext
 
 __all__ = ["OffPolicyTrainer"]
 
@@ -54,6 +55,9 @@ class OffPolicyTrainer:
         save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
         resume_from_log: bool = False,
         test_in_train: bool = False,
+        show_progress: bool = False,
+        profile_dir: str | None = None,
+        smooth_window: int = 1,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -76,6 +80,9 @@ class OffPolicyTrainer:
         self.save_checkpoint_fn = save_checkpoint_fn
         self.resume_from_log = resume_from_log
         self.test_in_train = test_in_train
+        self.show_progress = show_progress
+        self.profile_dir = profile_dir
+        self.smooth = MetricSmoother(smooth_window)
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -171,52 +178,59 @@ class OffPolicyTrainer:
         updates_fn = self._build_update_scan()
         stop_triggered = False
         epoch = 0
-        for epoch in range(start_epoch + 1, self.max_epoch + 1):
-            steps_this_epoch = 0
-            while steps_this_epoch < self.step_per_epoch:
-                explore_param = float(self.train_param_fn(epoch, env_step))
-                key, k_c, k_u = jax.random.split(key, 3)
-                bstate, stats, _ = col.collect(
-                    ts, bstate, self.segment_len, k_c,
-                    explore=True, explore_param=explore_param,
-                )
-                ts, bstate, metrics = updates_fn(ts, bstate, k_u)
-                env_step += self.steps_per_segment
-                steps_this_epoch += self.steps_per_segment
-                grad_step += self.updates_per_segment
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                if self.logger is not None:
-                    self.logger.log_train_data(
-                        {
-                            "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
-                            **last_metrics,
-                        },
-                        env_step,
+        with RunContext(
+            self.max_epoch * self.step_per_epoch,
+            self.show_progress, self.profile_dir, desc="offpolicy",
+        ) as rc:
+            for epoch in range(start_epoch + 1, self.max_epoch + 1):
+                steps_this_epoch = 0
+                while steps_this_epoch < self.step_per_epoch:
+                    explore_param = float(self.train_param_fn(epoch, env_step))
+                    key, k_c, k_u = jax.random.split(key, 3)
+                    bstate, stats, _ = col.collect(
+                        ts, bstate, self.segment_len, k_c,
+                        explore=True, explore_param=explore_param,
                     )
-            if self.logger is not None:
-                self.logger.save_data(
-                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                    ts, bstate, metrics = updates_fn(ts, bstate, k_u)
+                    env_step += self.steps_per_segment
+                    steps_this_epoch += self.steps_per_segment
+                    grad_step += self.updates_per_segment
+                    last_metrics = self.smooth(
+                        {k: float(v) for k, v in metrics.items()}
+                    )
+                    rc.step(self.steps_per_segment, last_metrics)
+                    if self.logger is not None:
+                        self.logger.log_train_data(
+                            {
+                                "env_step": env_step,
+                                "returns_mean": stats.returns_mean,
+                                **last_metrics,
+                            },
+                            env_step,
+                        )
+                if self.logger is not None:
+                    self.logger.save_data(
+                        epoch, env_step, grad_step, self.save_checkpoint_fn
+                    )
+                elif self.save_checkpoint_fn is not None:
+                    self.save_checkpoint_fn(epoch, env_step, grad_step)
+                key, k_test = jax.random.split(key)
+                test_stats = self.test_collector.collect_episodes(
+                    ts, k_test, self.episode_per_test,
+                    explore=False, explore_param=self.test_param,
                 )
-            elif self.save_checkpoint_fn is not None:
-                self.save_checkpoint_fn(epoch, env_step, grad_step)
-            key, k_test = jax.random.split(key)
-            test_stats = self.test_collector.collect_episodes(
-                ts, k_test, self.episode_per_test,
-                explore=False, explore_param=self.test_param,
-            )
-            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
-            if rew > best_reward:
-                best_reward, best_reward_std = rew, rew_std
-                if self.save_best_fn is not None:
-                    self.save_best_fn(ts)
-            if self.logger is not None:
-                self.logger.log_test_data(
-                    {"returns_mean": rew, "returns_std": rew_std}, env_step
-                )
-            if self.stop_fn is not None and self.stop_fn(rew):
-                stop_triggered = True
-                break
+                rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+                if rew > best_reward:
+                    best_reward, best_reward_std = rew, rew_std
+                    if self.save_best_fn is not None:
+                        self.save_best_fn(ts)
+                if self.logger is not None:
+                    self.logger.log_test_data(
+                        {"returns_mean": rew, "returns_std": rew_std}, env_step
+                    )
+                if self.stop_fn is not None and self.stop_fn(rew):
+                    stop_triggered = True
+                    break
 
         self.train_state = ts
         self.buffer_state = bstate
@@ -273,87 +287,92 @@ class OffPolicyTrainer:
 
         stop_triggered = False
         epoch = 0
-        for epoch in range(start_epoch + 1, self.max_epoch + 1):
-            steps_this_epoch = 0
-            epoch_train_rets: list[np.ndarray] = []
-            while steps_this_epoch < self.step_per_epoch:
-                explore_param = float(self.train_param_fn(epoch, env_step))
-                key, k_step = jax.random.split(key)
-                t0 = time.time()
-                ts, cstate, bstate, outputs, metrics = self._superstep(
-                    ts, cstate, bstate, k_step, explore_param
-                )
-                jax.block_until_ready(metrics)
-                train_time_collect += time.time() - t0
-                env_step += self.steps_per_segment
-                steps_this_epoch += self.steps_per_segment
-                grad_step += self.updates_per_segment
-                stats = Collector.summarize(outputs, self.steps_per_segment)
-                if stats.returns.size:
-                    epoch_train_rets.append(stats.returns)
-                # opportunistic in-training test (trainer/base.py:469-510):
-                # when training returns already clear the bar, confirm with
-                # a real test phase and stop early
-                if (
-                    self.test_in_train
-                    and self.stop_fn is not None
-                    and stats.returns.size
-                    and self.stop_fn(stats.returns_mean)
-                ):
-                    key, k_tt = jax.random.split(key)
-                    tt = self.test_collector.collect_episodes(
-                        ts, k_tt, self.episode_per_test,
-                        explore=False, explore_param=self.test_param,
+        with RunContext(
+            self.max_epoch * self.step_per_epoch,
+            self.show_progress, self.profile_dir, desc="offpolicy",
+        ) as rc:
+            for epoch in range(start_epoch + 1, self.max_epoch + 1):
+                steps_this_epoch = 0
+                epoch_train_rets: list[np.ndarray] = []
+                while steps_this_epoch < self.step_per_epoch:
+                    explore_param = float(self.train_param_fn(epoch, env_step))
+                    key, k_step = jax.random.split(key)
+                    t0 = time.time()
+                    ts, cstate, bstate, outputs, metrics = self._superstep(
+                        ts, cstate, bstate, k_step, explore_param
                     )
-                    if self.stop_fn(tt.returns_mean):
-                        best_reward = max(best_reward, tt.returns_mean)
-                        best_reward_std = tt.returns_std
-                        stop_triggered = True
-                        break
-                last_metrics = {
-                    k: float(v) for k, v in metrics.items()
-                }
+                    jax.block_until_ready(metrics)
+                    train_time_collect += time.time() - t0
+                    env_step += self.steps_per_segment
+                    steps_this_epoch += self.steps_per_segment
+                    grad_step += self.updates_per_segment
+                    stats = Collector.summarize(outputs, self.steps_per_segment)
+                    if stats.returns.size:
+                        epoch_train_rets.append(stats.returns)
+                    # opportunistic in-training test (trainer/base.py:469-510):
+                    # when training returns already clear the bar, confirm with
+                    # a real test phase and stop early
+                    if (
+                        self.test_in_train
+                        and self.stop_fn is not None
+                        and stats.returns.size
+                        and self.stop_fn(stats.returns_mean)
+                    ):
+                        key, k_tt = jax.random.split(key)
+                        tt = self.test_collector.collect_episodes(
+                            ts, k_tt, self.episode_per_test,
+                            explore=False, explore_param=self.test_param,
+                        )
+                        if self.stop_fn(tt.returns_mean):
+                            best_reward = max(best_reward, tt.returns_mean)
+                            best_reward_std = tt.returns_std
+                            stop_triggered = True
+                            break
+                    last_metrics = self.smooth(
+                        {k: float(v) for k, v in metrics.items()}
+                    )
+                    rc.step(self.steps_per_segment, last_metrics)
+                    if self.logger is not None:
+                        self.logger.log_train_data(
+                            {
+                                "env_step": env_step,
+                                "returns_mean": stats.returns_mean,
+                                **last_metrics,
+                            },
+                            env_step,
+                        )
+
+                if stop_triggered:
+                    break
+                # per-epoch checkpoint + counter save (trainer/base.py:340-345)
                 if self.logger is not None:
-                    self.logger.log_train_data(
-                        {
-                            "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
-                            **last_metrics,
-                        },
-                        env_step,
+                    self.logger.save_data(
+                        epoch, env_step, grad_step, self.save_checkpoint_fn
                     )
+                elif self.save_checkpoint_fn is not None:
+                    self.save_checkpoint_fn(epoch, env_step, grad_step)
 
-            if stop_triggered:
-                break
-            # per-epoch checkpoint + counter save (trainer/base.py:340-345)
-            if self.logger is not None:
-                self.logger.save_data(
-                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                # test phase
+                key, k_test = jax.random.split(key)
+                test_stats = self.test_collector.collect_episodes(
+                    ts,
+                    k_test,
+                    self.episode_per_test,
+                    explore=False,
+                    explore_param=self.test_param,
                 )
-            elif self.save_checkpoint_fn is not None:
-                self.save_checkpoint_fn(epoch, env_step, grad_step)
-
-            # test phase
-            key, k_test = jax.random.split(key)
-            test_stats = self.test_collector.collect_episodes(
-                ts,
-                k_test,
-                self.episode_per_test,
-                explore=False,
-                explore_param=self.test_param,
-            )
-            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
-            if rew > best_reward:
-                best_reward, best_reward_std = rew, rew_std
-                if self.save_best_fn is not None:
-                    self.save_best_fn(ts)
-            if self.logger is not None:
-                self.logger.log_test_data(
-                    {"returns_mean": rew, "returns_std": rew_std}, env_step
-                )
-            if self.stop_fn is not None and self.stop_fn(rew):
-                stop_triggered = True
-                break
+                rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+                if rew > best_reward:
+                    best_reward, best_reward_std = rew, rew_std
+                    if self.save_best_fn is not None:
+                        self.save_best_fn(ts)
+                if self.logger is not None:
+                    self.logger.log_test_data(
+                        {"returns_mean": rew, "returns_std": rew_std}, env_step
+                    )
+                if self.stop_fn is not None and self.stop_fn(rew):
+                    stop_triggered = True
+                    break
 
         self.train_state = ts
         self.collect_state = cstate

@@ -22,6 +22,7 @@ from tianshou_tpu.algos.base import Algorithm, TrainState
 from tianshou_tpu.collect.collector import Collector, rollout_segment
 from tianshou_tpu.data.stats import InfoStats
 from tianshou_tpu.data.tree import tree_slice
+from tianshou_tpu.trainer.hooks import MetricSmoother, RunContext
 
 __all__ = ["OnPolicyTrainer"]
 
@@ -46,6 +47,9 @@ class OnPolicyTrainer:
         save_checkpoint_fn: Callable[[int, int, int], None] | None = None,
         resume_from_log: bool = False,
         test_in_train: bool = False,
+        show_progress: bool = False,
+        profile_dir: str | None = None,
+        smooth_window: int = 1,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -62,6 +66,9 @@ class OnPolicyTrainer:
         self.save_checkpoint_fn = save_checkpoint_fn
         self.resume_from_log = resume_from_log
         self.test_in_train = test_in_train
+        self.show_progress = show_progress
+        self.profile_dir = profile_dir
+        self.smooth = MetricSmoother(smooth_window)
 
         num_envs = train_collector.venv.num_envs
         self.segment_len = max(1, step_per_collect // num_envs)
@@ -184,52 +191,59 @@ class OnPolicyTrainer:
         updates_per_segment = self.repeat_per_collect * max(
             1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
         )
-        for epoch in range(start_epoch + 1, self.max_epoch + 1):
-            steps_this_epoch = 0
-            while steps_this_epoch < self.step_per_epoch:
-                key, k_c, k_u = jax.random.split(key, 3)
-                _, stats, traj = col.collect(
-                    ts, None, self.segment_len, k_c,
-                    explore=True, record_traj=True,
-                )
-                ts, metrics = learn_fn(ts, traj.to_jax(), k_u)
-                env_step += self.steps_per_segment
-                steps_this_epoch += self.steps_per_segment
-                grad_step += updates_per_segment
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                if self.logger is not None:
-                    self.logger.log_train_data(
-                        {
-                            "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
-                            **last_metrics,
-                        },
-                        env_step,
+        with RunContext(
+            self.max_epoch * self.step_per_epoch,
+            self.show_progress, self.profile_dir, desc="onpolicy",
+        ) as rc:
+            for epoch in range(start_epoch + 1, self.max_epoch + 1):
+                steps_this_epoch = 0
+                while steps_this_epoch < self.step_per_epoch:
+                    key, k_c, k_u = jax.random.split(key, 3)
+                    _, stats, traj = col.collect(
+                        ts, None, self.segment_len, k_c,
+                        explore=True, record_traj=True,
                     )
-            if stop_triggered:
-                break
-            if self.logger is not None:
-                self.logger.save_data(
-                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                    ts, metrics = learn_fn(ts, traj.to_jax(), k_u)
+                    env_step += self.steps_per_segment
+                    steps_this_epoch += self.steps_per_segment
+                    grad_step += updates_per_segment
+                    last_metrics = self.smooth(
+                        {k: float(v) for k, v in metrics.items()}
+                    )
+                    rc.step(self.steps_per_segment, last_metrics)
+                    if self.logger is not None:
+                        self.logger.log_train_data(
+                            {
+                                "env_step": env_step,
+                                "returns_mean": stats.returns_mean,
+                                **last_metrics,
+                            },
+                            env_step,
+                        )
+                if stop_triggered:
+                    break
+                if self.logger is not None:
+                    self.logger.save_data(
+                        epoch, env_step, grad_step, self.save_checkpoint_fn
+                    )
+                elif self.save_checkpoint_fn is not None:
+                    self.save_checkpoint_fn(epoch, env_step, grad_step)
+                key, k_test = jax.random.split(key)
+                test_stats = self.test_collector.collect_episodes(
+                    ts, k_test, self.episode_per_test, explore=False
                 )
-            elif self.save_checkpoint_fn is not None:
-                self.save_checkpoint_fn(epoch, env_step, grad_step)
-            key, k_test = jax.random.split(key)
-            test_stats = self.test_collector.collect_episodes(
-                ts, k_test, self.episode_per_test, explore=False
-            )
-            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
-            if rew > best_reward:
-                best_reward, best_reward_std = rew, rew_std
-                if self.save_best_fn is not None:
-                    self.save_best_fn(ts)
-            if self.logger is not None:
-                self.logger.log_test_data(
-                    {"returns_mean": rew, "returns_std": rew_std}, env_step
-                )
-            if self.stop_fn is not None and self.stop_fn(rew):
-                stop_triggered = True
-                break
+                rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+                if rew > best_reward:
+                    best_reward, best_reward_std = rew, rew_std
+                    if self.save_best_fn is not None:
+                        self.save_best_fn(ts)
+                if self.logger is not None:
+                    self.logger.log_test_data(
+                        {"returns_mean": rew, "returns_std": rew_std}, env_step
+                    )
+                if self.stop_fn is not None and self.stop_fn(rew):
+                    stop_triggered = True
+                    break
 
         self.train_state = ts
         return InfoStats(
@@ -270,65 +284,74 @@ class OnPolicyTrainer:
             1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
         )
 
-        for epoch in range(start_epoch + 1, self.max_epoch + 1):
-            steps_this_epoch = 0
-            while steps_this_epoch < self.step_per_epoch:
-                key, k_step = jax.random.split(key)
-                ts, cstate, outputs, metrics = self._superstep(ts, cstate, k_step)
-                env_step += self.steps_per_segment
-                steps_this_epoch += self.steps_per_segment
-                grad_step += updates_per_segment
-                stats = Collector.summarize(outputs, self.steps_per_segment)
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                if (
-                    self.test_in_train
-                    and self.stop_fn is not None
-                    and stats.returns.size
-                    and self.stop_fn(stats.returns_mean)
-                ):
-                    key, k_tt = jax.random.split(key)
-                    tt = self.test_collector.collect_episodes(
-                        ts, k_tt, self.episode_per_test, explore=False
+        with RunContext(
+            self.max_epoch * self.step_per_epoch,
+            self.show_progress, self.profile_dir, desc="onpolicy",
+        ) as rc:
+            for epoch in range(start_epoch + 1, self.max_epoch + 1):
+                steps_this_epoch = 0
+                while steps_this_epoch < self.step_per_epoch:
+                    key, k_step = jax.random.split(key)
+                    ts, cstate, outputs, metrics = self._superstep(
+                        ts, cstate, k_step
                     )
-                    if self.stop_fn(tt.returns_mean):
-                        best_reward = max(best_reward, tt.returns_mean)
-                        best_reward_std = tt.returns_std
-                        stop_triggered = True
-                        break
-                if self.logger is not None:
-                    self.logger.log_train_data(
-                        {
-                            "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
-                            **last_metrics,
-                        },
-                        env_step,
+                    env_step += self.steps_per_segment
+                    steps_this_epoch += self.steps_per_segment
+                    grad_step += updates_per_segment
+                    stats = Collector.summarize(outputs, self.steps_per_segment)
+                    last_metrics = self.smooth(
+                        {k: float(v) for k, v in metrics.items()}
                     )
+                    rc.step(self.steps_per_segment, last_metrics)
+                    if (
+                        self.test_in_train
+                        and self.stop_fn is not None
+                        and stats.returns.size
+                        and self.stop_fn(stats.returns_mean)
+                    ):
+                        key, k_tt = jax.random.split(key)
+                        tt = self.test_collector.collect_episodes(
+                            ts, k_tt, self.episode_per_test, explore=False
+                        )
+                        if self.stop_fn(tt.returns_mean):
+                            best_reward = max(best_reward, tt.returns_mean)
+                            best_reward_std = tt.returns_std
+                            stop_triggered = True
+                            break
+                    if self.logger is not None:
+                        self.logger.log_train_data(
+                            {
+                                "env_step": env_step,
+                                "returns_mean": stats.returns_mean,
+                                **last_metrics,
+                            },
+                            env_step,
+                        )
 
-            if stop_triggered:
-                break
-            if self.logger is not None:
-                self.logger.save_data(
-                    epoch, env_step, grad_step, self.save_checkpoint_fn
+                if stop_triggered:
+                    break
+                if self.logger is not None:
+                    self.logger.save_data(
+                        epoch, env_step, grad_step, self.save_checkpoint_fn
+                    )
+                elif self.save_checkpoint_fn is not None:
+                    self.save_checkpoint_fn(epoch, env_step, grad_step)
+                key, k_test = jax.random.split(key)
+                test_stats = self.test_collector.collect_episodes(
+                    ts, k_test, self.episode_per_test, explore=False
                 )
-            elif self.save_checkpoint_fn is not None:
-                self.save_checkpoint_fn(epoch, env_step, grad_step)
-            key, k_test = jax.random.split(key)
-            test_stats = self.test_collector.collect_episodes(
-                ts, k_test, self.episode_per_test, explore=False
-            )
-            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
-            if rew > best_reward:
-                best_reward, best_reward_std = rew, rew_std
-                if self.save_best_fn is not None:
-                    self.save_best_fn(ts)
-            if self.logger is not None:
-                self.logger.log_test_data(
-                    {"returns_mean": rew, "returns_std": rew_std}, env_step
-                )
-            if self.stop_fn is not None and self.stop_fn(rew):
-                stop_triggered = True
-                break
+                rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+                if rew > best_reward:
+                    best_reward, best_reward_std = rew, rew_std
+                    if self.save_best_fn is not None:
+                        self.save_best_fn(ts)
+                if self.logger is not None:
+                    self.logger.log_test_data(
+                        {"returns_mean": rew, "returns_std": rew_std}, env_step
+                    )
+                if self.stop_fn is not None and self.stop_fn(rew):
+                    stop_triggered = True
+                    break
 
         self.train_state = ts
         self.collect_state = cstate
