@@ -214,6 +214,56 @@ def test_her_rewrite_semantics():
     np.testing.assert_allclose(obs[:, 2], obs_next[:, 2])
 
 
+def test_her_future_offset_uniform_over_remainder():
+    """The 'future' offset follows the reference's ``round(uniform *
+    remainder)`` distribution (``her.py:126-130``): for an episode much
+    shorter than the horizon, the terminal transition must NOT be
+    overweighted (a fixed-window offset would pick it ~80% of the time)."""
+    import jax
+    from tests.helpers import GoalReachEnv
+    from tianshou_tpu.data.her import HERReplayBuffer
+
+    buf = HERReplayBuffer(
+        capacity=16,
+        num_envs=1,
+        compute_reward_fn=GoalReachEnv.compute_reward,
+        achieved_slice=(1, 2),
+        desired_slice=(2, 3),
+        horizon=16,
+        future_k=1e9,  # always rewrite
+    )
+    ex = Batch(
+        obs=np.zeros(3, np.float32), act=np.zeros(1, np.float32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros(3, np.float32),
+    )
+    st = buf.init(ex)
+    ep_len = 4
+    for i in range(ep_len):
+        tr = Batch(
+            obs=np.asarray([[i, i, 99.0]], np.float32),
+            act=np.ones((1, 1), np.float32),
+            rew=np.full((1,), -1.0, np.float32),
+            terminated=np.asarray([i == ep_len - 1]),
+            truncated=np.zeros(1, bool),
+            obs_next=np.asarray([[i + 1, i + 1, 99.0]], np.float32),
+        )
+        st = buf.add(st, tr.to_jax())
+
+    env_idx, pos, w, batch = buf.sample_her(st, jax.random.key(1), 4096)
+    pos_np = np.asarray(pos)
+    goals = np.asarray(batch["obs"])[:, 2]
+    # samples at pos 0: remainder 3, offset = round(u*3) ->
+    # P(goal==4 i.e. terminal) = 1/6, not ~13/16 as a fixed window gives
+    at0 = pos_np == 0
+    assert at0.sum() > 300
+    frac_terminal = float(np.mean(goals[at0] == 4.0))
+    assert 0.08 < frac_terminal < 0.30, frac_terminal
+    # interior offsets carry double mass (round): P(goal==2) ~ 1/3
+    frac_mid = float(np.mean(goals[at0] == 2.0))
+    assert 0.25 < frac_mid < 0.42, frac_mid
+
+
 def test_merge_copies_valid_entries_oldest_first():
     dst = ReplayBuffer(capacity=8, num_envs=1)
     dst_st = dst.init(_example())

@@ -83,6 +83,54 @@ def test_prio_buffer_sampling_and_writeback():
         assert np.asarray(w)[rare].max() >= np.asarray(w)[~rare].max()
 
 
+def test_per_weight_oracle_parity():
+    """IS-weight values pinned against a numpy re-implementation of the
+    reference semantics (``tianshou/data/buffer/prio.py:44-104``): leaves
+    hold ``prio**alpha``, ``_min_prio`` is the running min of RAW
+    priorities, ``get_weight = (leaf / _min_prio)^-beta``, and
+    ``weight_norm`` divides by the batch max."""
+    alpha, beta = 0.6, 0.4
+    rng = np.random.default_rng(3)
+
+    for weight_norm in (True, False):
+        buf = PrioritizedReplayBuffer(
+            capacity=16, num_envs=1, alpha=alpha, beta=beta,
+            weight_norm=weight_norm,
+        )
+        st = buf.init(_example())
+        # numpy oracle state
+        leaves = np.zeros(16)
+        max_prio = min_prio = 1.0
+        n = 12
+        for i in range(n):
+            st = buf.add(st, _tr(i, num_envs=1).to_jax())
+            leaves[i] = max_prio**alpha
+        # several rounds of TD write-back with random priorities
+        for _ in range(4):
+            # unique indices: scatter order for duplicates is unspecified
+            idx = rng.permutation(n)[:5]
+            td = rng.random(5) * 3.0
+            st = buf.update_priorities(
+                st,
+                jnp.zeros(5, jnp.int32),
+                jnp.asarray(idx, jnp.int32),
+                jnp.asarray(td),
+            )
+            prio = np.abs(td) + 1e-6
+            # last-write-wins for duplicate indices (both sides scatter)
+            for j, p in zip(idx, prio):
+                leaves[j] = p**alpha
+            max_prio = max(max_prio, prio.max())
+            min_prio = min(min_prio, prio.min())
+
+        env_idx, pos, w = buf.sample_with_weights(st, jax.random.key(7), 64)
+        pos_np = np.asarray(pos)
+        expected = (leaves[pos_np] / min_prio) ** (-beta)
+        if weight_norm:
+            expected = expected / expected.max()
+        np.testing.assert_allclose(np.asarray(w), expected, rtol=1e-4)
+
+
 def test_per_dqn_smoke():
     """PER-DQN runs end-to-end inside jit and improves."""
     from tianshou_tpu.algos.dqn import DQN

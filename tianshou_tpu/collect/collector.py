@@ -42,7 +42,7 @@ class CollectState:
     env_state: Any
     obs: Any
     rng: jax.Array
-    ep_ret: jax.Array  # [N] running episode return
+    ep_ret: jax.Array  # [N] (or [N, n_agents] MARL) running episode return
     ep_len: jax.Array  # [N] running episode length
     policy_state: Any = ()  # per-env recurrent policy state (LSTM carries)
 
@@ -69,11 +69,11 @@ class CollectStats:
         return float(self.lens.mean()) if self.lens.size else 0.0
 
 
-def _default_reward_metric(rew: jax.Array) -> jax.Array:
-    """Scalarize per-agent reward vectors [N, n_agents] -> [N] via the first
+def _default_reward_metric(ep_rew: jax.Array) -> jax.Array:
+    """Scalarize per-agent episode returns [N, n_agents] -> [N] via the first
     agent's column (the reference's default when no ``reward_metric`` hook is
     given, ``trainer/base.py``)."""
-    return rew if rew.ndim == 1 else rew[..., 0]
+    return ep_rew if ep_rew.ndim == 1 else ep_rew[..., 0]
 
 
 def rollout_segment(
@@ -93,8 +93,10 @@ def rollout_segment(
     replacing buffer round-trips entirely).
 
     ``reward_metric`` is the jittable analog of the reference's MARL
-    ``reward_metric`` trainer hook: ``[N, n_agents] -> [N]`` scalarization of
-    per-agent reward vectors for episode statistics.
+    ``reward_metric`` trainer hook: like the reference, it is applied to
+    *accumulated per-agent episode returns* ``[N, n_agents] -> [N]`` at
+    episode boundaries (not per step), so non-linear metrics (min/max over
+    agents) match the reference's episode statistics.
     """
     reward_metric = reward_metric or _default_reward_metric
 
@@ -108,7 +110,6 @@ def rollout_segment(
             env_act = algo.map_action(act)
             env_state, res, carry_obs = venv.step(cst.env_state, env_act, k_env)
             done = res.terminated | res.truncated
-            rew_scalar = reward_metric(res.reward)
             # reset recurrent state on episode boundaries
             init_pstate = algo.init_policy_state(venv.num_envs)
             pstate = jax.tree.map(
@@ -118,7 +119,9 @@ def rollout_segment(
                 init_pstate,
                 pstate,
             )
-            ep_ret = cst.ep_ret + rew_scalar
+            # ep_ret carries the reward's full (possibly per-agent) shape;
+            # the metric scalarizes only finished episodes
+            ep_ret = cst.ep_ret + res.reward
             ep_len = cst.ep_len + 1
             transition = Batch(
                 obs=cst.obs,
@@ -132,9 +135,10 @@ def rollout_segment(
                 transition["policy"] = extras
             if buffer is not None:
                 bst = buffer.add(bst, transition)
+            done_b = done.reshape(done.shape + (1,) * (ep_ret.ndim - done.ndim))
             out = {
                 "done": done,
-                "ep_ret": jnp.where(done, ep_ret, 0.0),
+                "ep_ret": jnp.where(done, reward_metric(ep_ret), 0.0),
                 "ep_len": jnp.where(done, ep_len, 0),
             }
             if record_traj:
@@ -143,7 +147,7 @@ def rollout_segment(
                 env_state=env_state,
                 obs=carry_obs,
                 rng=rng,
-                ep_ret=jnp.where(done, 0.0, ep_ret),
+                ep_ret=jnp.where(done_b, 0.0, ep_ret),
                 ep_len=jnp.where(done, 0, ep_len),
                 policy_state=pstate,
             )
@@ -178,6 +182,29 @@ class Collector:
         self._jit_cache: dict = {}
 
     # -- state management --------------------------------------------------
+    def _reward_shape(self, env_state, obs) -> tuple[int, ...]:
+        """Probe the env's reward shape (``[N]`` single-agent, ``[N, A]``
+        MARL) via ``jax.eval_shape`` — no compute, just shape inference —
+        so the episode-return carry matches per-agent reward vectors."""
+        from tianshou_tpu.envs.spaces import Box, MultiDiscrete
+
+        n = self.venv.num_envs
+        space = self.algo.action_space
+        if isinstance(space, Box):
+            act = jnp.zeros((n,) + space.shape, jnp.float32)
+        elif isinstance(space, MultiDiscrete):
+            act = jnp.zeros((n,) + space.shape, jnp.int32)
+        else:
+            act = jnp.zeros((n,), jnp.int32)
+        try:
+            res = jax.eval_shape(
+                lambda s, a, k: self.venv.step(s, a, k)[1],
+                env_state, self.algo.map_action(act), jax.random.key(0),
+            )
+            return tuple(res.reward.shape)
+        except Exception:
+            return (n,)
+
     def reset(self, key: jax.Array) -> CollectState:
         k_env, k_rng = jax.random.split(key)
         env_state, obs = self.venv.reset(k_env)
@@ -186,7 +213,7 @@ class Collector:
             env_state=env_state,
             obs=obs,
             rng=k_rng,
-            ep_ret=jnp.zeros((n,), jnp.float32),
+            ep_ret=jnp.zeros(self._reward_shape(env_state, obs), jnp.float32),
             ep_len=jnp.zeros((n,), jnp.int32),
             policy_state=self.algo.init_policy_state(n),
         )

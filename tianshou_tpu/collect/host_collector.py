@@ -69,13 +69,25 @@ class HostCollector:
             return Batch(obs).to_jax()
         return jnp.asarray(obs)
 
-    def _scalar_rew(self, rew: np.ndarray) -> np.ndarray:
+    def _accumulate_rew(self, rew: np.ndarray) -> None:
+        """Accumulate raw (possibly per-agent ``[N, A]``) rewards into the
+        episode-return carry, lazily widening its shape on the first
+        vector-valued reward."""
+        rew = np.asarray(rew)
+        if rew.shape != self.ep_ret.shape:
+            self.ep_ret = np.zeros(rew.shape, self.ep_ret.dtype)
+        self.ep_ret += rew
+
+    def _episode_metric(self, ep_rew: np.ndarray) -> np.ndarray:
         """MARL ``reward_metric`` hook (reference ``trainer/base.py``):
-        per-agent reward vectors scalarized for episode stats; the default
-        tracks the first agent's column."""
+        applied to accumulated per-agent *episode returns*
+        ``[K, A] -> [K]`` at done boundaries (matching the reference's
+        per-episode — not per-step — semantics, so non-linear metrics like
+        min/max over agents are exact); the default tracks the first
+        agent's column."""
         if self.reward_metric is not None:
-            return np.asarray(self.reward_metric(rew))
-        return rew if rew.ndim == 1 else rew[..., 0]
+            return np.asarray(self.reward_metric(ep_rew))
+        return ep_rew if ep_rew.ndim == 1 else ep_rew[..., 0]
 
     # ------------------------------------------------------------------
     def collect(
@@ -102,7 +114,7 @@ class HostCollector:
             env_act_np = np.asarray(env_act)
             res, carry = self.venv.step(env_act_np)
             done = res.terminated | res.truncated
-            self.ep_ret += self._scalar_rew(res.reward)
+            self._accumulate_rew(res.reward)
             self.ep_len += 1
             tr = Batch(
                 obs=self.obs,
@@ -116,7 +128,7 @@ class HostCollector:
                 tr["policy"] = jax.tree.map(np.asarray, extras)
             steps.append(tr)
             if done.any():
-                returns.extend(self.ep_ret[done].tolist())
+                returns.extend(self._episode_metric(self.ep_ret[done]).tolist())
                 lens.extend(self.ep_len[done].tolist())
                 self.ep_ret[done] = 0
                 self.ep_len[done] = 0
@@ -157,11 +169,13 @@ class HostCollector:
             )
             res, carry = self.venv.step(np.asarray(env_act))
             done = res.terminated | res.truncated
-            self.ep_ret += self._scalar_rew(res.reward)
+            self._accumulate_rew(res.reward)
             self.ep_len += 1
             for i in np.nonzero(done)[0]:
                 if counts[i] < quota[i]:
-                    returns.append(float(self.ep_ret[i]))
+                    returns.append(
+                        float(self._episode_metric(self.ep_ret[i : i + 1])[0])
+                    )
                     lens.append(int(self.ep_len[i]))
                 counts[i] += 1
                 self.ep_ret[i] = 0

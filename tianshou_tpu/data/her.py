@@ -68,16 +68,23 @@ class HERReplayBuffer(ReplayBuffer):
         env_idx, pos = self.sample_indices(state, k_idx, batch_size)
         batch = self.get(state, env_idx, pos)
 
-        # future positions: walk the saturating next-chain H steps and pick
-        # a random offset - a fixed-shape stand-in for "uniform over the
-        # episode remainder"
+        # future positions: walk the saturating next-chain H steps, measure
+        # where it saturates (= the episode remainder, bounded by horizon),
+        # and sample the offset as ``round(uniform * remainder)`` — exactly
+        # the reference's 'future' distribution (her.py:126-130), which is
+        # uniform over the remainder instead of overweighting the terminal
+        # transition when episodes are shorter than the horizon
         chain = [pos]
         cur = pos
+        remainder = jnp.zeros((batch_size,), jnp.int32)
         for _ in range(self.horizon - 1):
-            cur = self.next_pos(state, env_idx, cur)
+            nxt = self.next_pos(state, env_idx, cur)
+            remainder = remainder + (nxt != cur).astype(jnp.int32)
+            cur = nxt
             chain.append(cur)
         chain = jnp.stack(chain, axis=1)  # [B, H]
-        offset = jax.random.randint(k_future, (batch_size,), 0, self.horizon)
+        u = jax.random.uniform(k_future, (batch_size,))
+        offset = jnp.round(u * remainder).astype(jnp.int32)
         future_pos = jnp.take_along_axis(chain, offset[:, None], axis=1).squeeze(1)
 
         future_obs_next = state.storage["obs_next"][env_idx, future_pos]

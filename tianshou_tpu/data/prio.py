@@ -4,10 +4,17 @@ TPU-native counterpart of ``tianshou/data/buffer/prio.py:10``
 (``PrioritizedReplayBuffer``) + the vectorized
 ``PrioritizedVectorReplayBuffer`` (``vecbuf.py:40``): priorities live in a
 single HBM sum tree over the flattened ``[num_envs * capacity]`` slot space;
-alpha-exponentiated priorities, inverse-CDF sampling, importance weights
-``(p_j / p_min)^-beta`` (here normalized by the batch max as the reference's
-``learn`` does) and TD-error write-back (``prio.py:79-88``) are all pure
-jittable ops, so PER adds zero host synchronization to the update step.
+alpha-exponentiated priorities, inverse-CDF sampling, importance weights and
+TD-error write-back (``prio.py:79-88``) are all pure jittable ops, so PER
+adds zero host synchronization to the update step.
+
+Weight semantics match the reference exactly (``prio.py:68-88,100-104``):
+with ``weight_norm=True`` (the default) weights are
+``(p_j / p_min)^-beta / max_batch(...)`` — in which the ``p_min`` constant
+cancels, so we compute ``p^-beta / max_batch(p^-beta)`` directly; with
+``weight_norm=False`` they are ``(p_j / p_min)^-beta`` against the
+reference's *running* ``_min_prio`` (a monotone lower bound updated on every
+TD write-back, never recomputed over live leaves — reference ``prio.py:88``).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ __all__ = ["PrioritizedReplayBuffer", "PrioritizedReplayBufferState"]
 class PrioritizedReplayBufferState(ReplayBufferState):
     tree: jax.Array = None  # [2 * pow2(num_envs * capacity)] sum tree
     max_prio: jax.Array = None  # scalar, running max priority
+    min_prio: jax.Array = None  # scalar, running min priority (lower bound)
     beta: jax.Array = None  # scalar, annealable IS exponent
 
 
@@ -47,10 +55,12 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         stack_num: int = 1,
         alpha: float = 0.6,
         beta: float = 0.4,
+        weight_norm: bool = True,
     ):
         super().__init__(capacity, num_envs, stack_num)
         self.alpha = alpha
         self.init_beta = beta
+        self.weight_norm = weight_norm
 
     # -- flat slot ids -----------------------------------------------------
     def _flat(self, env_idx: jax.Array, pos: jax.Array) -> jax.Array:
@@ -65,6 +75,7 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             size=base.size,
             tree=segtree_init(self.num_envs * self.capacity),
             max_prio=jnp.ones((), jnp.float32),
+            min_prio=jnp.ones((), jnp.float32),
             beta=jnp.asarray(self.init_beta, jnp.float32),
         )
 
@@ -86,7 +97,8 @@ class PrioritizedReplayBuffer(ReplayBuffer):
     def sample_with_weights(
         self, state: PrioritizedReplayBufferState, key: jax.Array, batch_size: int
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Proportional sampling + IS weights normalized by the batch max."""
+        """Proportional sampling + IS weights (see module docstring for the
+        exact reference weight semantics under both ``weight_norm`` modes)."""
         total = segtree_total(state.tree)
         u = jax.random.uniform(key, (batch_size,)) * total
         flat = segtree_sample(state.tree, u)
@@ -94,8 +106,12 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         env_idx = flat // self.capacity
         pos = flat % self.capacity
         p = state.tree[flat + state.tree.shape[0] // 2]
-        w = (jnp.maximum(p, 1e-12)) ** (-state.beta)
-        w = w / jnp.max(w)
+        if self.weight_norm:
+            # (p/p_min)^-beta / max((p/p_min)^-beta) == p^-beta / max(p^-beta)
+            w = (jnp.maximum(p, 1e-12)) ** (-state.beta)
+            w = w / jnp.max(w)
+        else:
+            w = (jnp.maximum(p, 1e-12) / state.min_prio) ** (-state.beta)
         return env_idx.astype(jnp.int32), pos.astype(jnp.int32), w
 
     def update_priorities(
@@ -110,8 +126,14 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         tree = segtree_update(
             state.tree, self._flat(env_idx, pos), prio**self.alpha
         )
+        # running extrema over raw (pre-alpha) priorities, exactly as the
+        # reference maintains them (prio.py:87-88).  Note the reference
+        # quirk reproduced here: get_weight (prio.py:77) divides the
+        # alpha-exponentiated leaf by this RAW running min.
         return state.replace(
-            tree=tree, max_prio=jnp.maximum(state.max_prio, prio.max())
+            tree=tree,
+            max_prio=jnp.maximum(state.max_prio, prio.max()),
+            min_prio=jnp.minimum(state.min_prio, prio.min()),
         )
 
     def set_beta(

@@ -40,13 +40,18 @@ def space_from_gym(space) -> Any:
     if isinstance(space, gym.spaces.MultiDiscrete):
         return MultiDiscrete(tuple(int(n) for n in space.nvec))
     if isinstance(space, gym.spaces.Box):
+
+        def bound(arr):
+            # store a scalar when uniform, the full per-dim tuple otherwise
+            # (never collapse heterogeneous bounds: map_action scaling
+            # depends on exact per-dim values)
+            a = np.asarray(arr, np.float64)
+            if a.size == 0 or np.all(a == a.flat[0]):
+                return float(a.flat[0]) if a.size else 0.0
+            return tuple(a.reshape(-1).tolist())
+
         return Box(
-            low=tuple(np.asarray(space.low, np.float64).reshape(-1).tolist())
-            if np.asarray(space.low).size <= 64
-            else float(np.asarray(space.low).min()),
-            high=tuple(np.asarray(space.high, np.float64).reshape(-1).tolist())
-            if np.asarray(space.high).size <= 64
-            else float(np.asarray(space.high).max()),
+            low=bound(space.low), high=bound(space.high),
             shape=tuple(space.shape),
         )
     raise TypeError(f"Unsupported gym space: {space}")

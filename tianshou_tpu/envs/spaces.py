@@ -70,11 +70,20 @@ class Box:
     def dtype(self):
         return jnp.float32
 
+    def _bound_arr(self, bound) -> jax.Array:
+        """Materialize a stored bound (scalar or flattened tuple) to
+        ``self.shape``.  Per-dim bounds are stored as a flat tuple regardless
+        of the Box's rank, so reshape when the sizes match."""
+        a = jnp.asarray(bound, jnp.float32)
+        if a.size == int(np.prod(self.shape)) and self.shape:
+            return a.reshape(self.shape)
+        return jnp.broadcast_to(a, self.shape)
+
     def low_arr(self) -> jax.Array:
-        return jnp.broadcast_to(jnp.asarray(self.low, jnp.float32), self.shape)
+        return self._bound_arr(self.low)
 
     def high_arr(self) -> jax.Array:
-        return jnp.broadcast_to(jnp.asarray(self.high, jnp.float32), self.shape)
+        return self._bound_arr(self.high)
 
     def sample(self, key: jax.Array, batch_shape: tuple[int, ...] = ()) -> jax.Array:
         lo, hi = self.low_arr(), self.high_arr()

@@ -60,10 +60,15 @@ class RunContext(contextlib.AbstractContextManager):
 
     def __enter__(self) -> "RunContext":
         if self.show_progress:
-            from tqdm import tqdm
-
-            self._bar = tqdm(total=self.total_steps, desc=self.desc,
-                             unit="step", dynamic_ncols=True)
+            # tqdm ships with the ``logging`` extra; degrade gracefully on
+            # a minimal install instead of crashing the training run
+            try:
+                from tqdm import tqdm
+            except ImportError:
+                tqdm = None
+            if tqdm is not None:
+                self._bar = tqdm(total=self.total_steps, desc=self.desc,
+                                 unit="step", dynamic_ncols=True)
         if self.profile_dir is not None:
             jax.profiler.start_trace(self.profile_dir)
             self._tracing = True

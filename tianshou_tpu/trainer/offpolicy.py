@@ -82,7 +82,7 @@ class OffPolicyTrainer:
         self.test_in_train = test_in_train
         self.show_progress = show_progress
         self.profile_dir = profile_dir
-        self.smooth = MetricSmoother(smooth_window)
+        self.smooth_window = smooth_window
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -145,6 +145,9 @@ class OffPolicyTrainer:
         stepping + device updates (the reference's normal mode of
         operation, SURVEY.md §3.1, with EnvPool-style batched feeding)."""
         t_start = time.time()
+        # fresh smoothing state per run (repeated run() calls must not
+        # inherit the previous run's moving averages)
+        self.smooth = MetricSmoother(self.smooth_window)
         key = jax.random.key(self.seed)
         k_init, key = jax.random.split(key)
         col = self.train_collector
@@ -179,7 +182,7 @@ class OffPolicyTrainer:
         stop_triggered = False
         epoch = 0
         with RunContext(
-            self.max_epoch * self.step_per_epoch,
+            (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="offpolicy",
         ) as rc:
             for epoch in range(start_epoch + 1, self.max_epoch + 1):
@@ -199,6 +202,23 @@ class OffPolicyTrainer:
                         {k: float(v) for k, v in metrics.items()}
                     )
                     rc.step(self.steps_per_segment, last_metrics)
+                    # opportunistic in-training test (trainer/base.py:469-510)
+                    if (
+                        self.test_in_train
+                        and self.stop_fn is not None
+                        and stats.returns.size
+                        and self.stop_fn(stats.returns_mean)
+                    ):
+                        key, k_tt = jax.random.split(key)
+                        tt = self.test_collector.collect_episodes(
+                            ts, k_tt, self.episode_per_test,
+                            explore=False, explore_param=self.test_param,
+                        )
+                        if self.stop_fn(tt.returns_mean):
+                            best_reward = max(best_reward, tt.returns_mean)
+                            best_reward_std = tt.returns_std
+                            stop_triggered = True
+                            break
                     if self.logger is not None:
                         self.logger.log_train_data(
                             {
@@ -208,6 +228,8 @@ class OffPolicyTrainer:
                             },
                             env_step,
                         )
+                if stop_triggered:
+                    break
                 if self.logger is not None:
                     self.logger.save_data(
                         epoch, env_step, grad_step, self.save_checkpoint_fn
@@ -249,6 +271,7 @@ class OffPolicyTrainer:
         if getattr(self.train_collector, "is_host_collector", False):
             return self._run_host()
         t_start = time.time()
+        self.smooth = MetricSmoother(self.smooth_window)
         rng = np.random.default_rng(self.seed)
         key = jax.random.key(self.seed)
         k_init, k_reset, key = jax.random.split(key, 3)
@@ -288,7 +311,7 @@ class OffPolicyTrainer:
         stop_triggered = False
         epoch = 0
         with RunContext(
-            self.max_epoch * self.step_per_epoch,
+            (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="offpolicy",
         ) as rc:
             for epoch in range(start_epoch + 1, self.max_epoch + 1):

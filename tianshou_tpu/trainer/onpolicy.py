@@ -68,7 +68,7 @@ class OnPolicyTrainer:
         self.test_in_train = test_in_train
         self.show_progress = show_progress
         self.profile_dir = profile_dir
-        self.smooth = MetricSmoother(smooth_window)
+        self.smooth_window = smooth_window
 
         num_envs = train_collector.venv.num_envs
         self.segment_len = max(1, step_per_collect // num_envs)
@@ -113,11 +113,14 @@ class OnPolicyTrainer:
                     nmb, bs
                 )
 
-                def mb_body(ts, idx):
+                def mb_body(ts, xs):
+                    idx, i = xs
                     mb = tree_slice(processed, idx)
-                    return algo.learn(ts, mb, k_learn)
+                    return algo.learn(ts, mb, jax.random.fold_in(k_learn, i))
 
-                ts, metrics = jax.lax.scan(mb_body, ts, perm)
+                ts, metrics = jax.lax.scan(
+                    mb_body, ts, (perm, jnp.arange(nmb))
+                )
                 return ts, jax.tree.map(lambda m: m.mean(), metrics)
 
             keys = jax.random.split(key, repeat)
@@ -156,10 +159,16 @@ class OnPolicyTrainer:
                     nmb, bs
                 )
 
-                def mb_body(ts, idx):
-                    return algo.learn(ts, tree_slice(processed, idx), k_learn)
+                def mb_body(ts, xs):
+                    idx, i = xs
+                    return algo.learn(
+                        ts, tree_slice(processed, idx),
+                        jax.random.fold_in(k_learn, i),
+                    )
 
-                ts, metrics = jax.lax.scan(mb_body, ts, perm)
+                ts, metrics = jax.lax.scan(
+                    mb_body, ts, (perm, jnp.arange(nmb))
+                )
                 return ts, jax.tree.map(lambda m: m.mean(), metrics)
 
             keys = jax.random.split(key, repeat)
@@ -172,6 +181,9 @@ class OnPolicyTrainer:
 
     def _run_host(self) -> InfoStats:
         t_start = time.time()
+        # fresh smoothing state per run (repeated run() calls must not
+        # inherit the previous run's moving averages)
+        self.smooth = MetricSmoother(self.smooth_window)
         key = jax.random.key(self.seed)
         k_init, key = jax.random.split(key)
         col = self.train_collector
@@ -192,7 +204,7 @@ class OnPolicyTrainer:
             1, self.steps_per_segment // min(self.batch_size, self.steps_per_segment)
         )
         with RunContext(
-            self.max_epoch * self.step_per_epoch,
+            (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="onpolicy",
         ) as rc:
             for epoch in range(start_epoch + 1, self.max_epoch + 1):
@@ -211,6 +223,22 @@ class OnPolicyTrainer:
                         {k: float(v) for k, v in metrics.items()}
                     )
                     rc.step(self.steps_per_segment, last_metrics)
+                    # opportunistic in-training test (trainer/base.py:469-510)
+                    if (
+                        self.test_in_train
+                        and self.stop_fn is not None
+                        and stats.returns.size
+                        and self.stop_fn(stats.returns_mean)
+                    ):
+                        key, k_tt = jax.random.split(key)
+                        tt = self.test_collector.collect_episodes(
+                            ts, k_tt, self.episode_per_test, explore=False
+                        )
+                        if self.stop_fn(tt.returns_mean):
+                            best_reward = max(best_reward, tt.returns_mean)
+                            best_reward_std = tt.returns_std
+                            stop_triggered = True
+                            break
                     if self.logger is not None:
                         self.logger.log_train_data(
                             {
@@ -261,6 +289,7 @@ class OnPolicyTrainer:
         if getattr(self.train_collector, "is_host_collector", False):
             return self._run_host()
         t_start = time.time()
+        self.smooth = MetricSmoother(self.smooth_window)
         key = jax.random.key(self.seed)
         k_init, k_reset, key = jax.random.split(key, 3)
 
@@ -285,7 +314,7 @@ class OnPolicyTrainer:
         )
 
         with RunContext(
-            self.max_epoch * self.step_per_epoch,
+            (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="onpolicy",
         ) as rc:
             for epoch in range(start_epoch + 1, self.max_epoch + 1):
