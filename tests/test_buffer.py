@@ -214,6 +214,136 @@ def test_her_rewrite_semantics():
     np.testing.assert_allclose(obs[:, 2], obs_next[:, 2])
 
 
+def _stacked_tr(i, k, terminated=False):
+    """Transition whose obs is the frame stack ending at step i (frame j =
+    [j], saturated at 0) — what a FrameStack env emits."""
+    frames = np.asarray([[max(0, j)] for j in range(i - k + 1, i + 1)], np.float32)
+    frames_next = np.asarray(
+        [[max(0, j)] for j in range(i - k + 2, i + 2)], np.float32
+    )
+    return Batch(
+        obs=frames[None],
+        act=np.full((1,), i, np.int32),
+        rew=np.full((1,), float(i), np.float32),
+        terminated=np.asarray([terminated]),
+        truncated=np.zeros(1, bool),
+        obs_next=frames_next[None],
+    )
+
+
+def test_save_only_last_obs_dedup_and_stacked_get():
+    """``save_only_last_obs`` stores one frame per slot (k-fold dedup) and
+    ``get`` reconstructs in-episode stacks, saturating at episode starts
+    (reference ``buffer/base.py:267-272,340-382``)."""
+    k = 3
+    buf = ReplayBuffer(
+        capacity=8, num_envs=1, stack_num=k,
+        save_only_last_obs=True, ignore_obs_next=True,
+    )
+    ex = Batch(
+        obs=np.zeros((k, 1), np.float32), act=np.zeros((), np.int32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros((k, 1), np.float32),
+    )
+    st = buf.init(ex)
+    # storage is deduplicated: one frame per slot, no obs_next at all
+    assert st.storage["obs"].shape == (1, 8, 1)
+    assert "obs_next" not in st.storage
+    # episode 1: steps 0..4 (4 terminates); frames stored: 0,1,2,3,4
+    for i in range(5):
+        st = buf.add(st, _stacked_tr(i, k, terminated=(i == 4)).to_jax())
+    env = jnp.zeros(5, jnp.int32)
+    pos = jnp.arange(5)
+    got = buf.get(st, env, pos, keys=("obs", "obs_next"))
+    obs = np.asarray(got["obs"])[:, :, 0]  # [5, k]
+    # stacks saturate at the episode start: pos 0 -> [0,0,0]; pos 2 -> [0,1,2]
+    np.testing.assert_array_equal(obs[0], [0, 0, 0])
+    np.testing.assert_array_equal(obs[1], [0, 0, 1])
+    np.testing.assert_array_equal(obs[2], [0, 1, 2])
+    np.testing.assert_array_equal(obs[4], [2, 3, 4])
+    # obs_next reconstructed as the stack ending at next(pos); saturates at
+    # the terminal slot (reference base.py:401-405)
+    obs_next = np.asarray(got["obs_next"])[:, :, 0]
+    np.testing.assert_array_equal(obs_next[0], [0, 0, 1])
+    np.testing.assert_array_equal(obs_next[3], [2, 3, 4])
+    np.testing.assert_array_equal(obs_next[4], [2, 3, 4])  # terminal: saturate
+
+
+def test_sample_avail_masks_short_stacks():
+    """``sample_avail``: only indices whose full stack lies within one
+    episode are sampled (reference ``buffer/base.py:306-328``)."""
+    k = 3
+    buf = ReplayBuffer(
+        capacity=16, num_envs=1, stack_num=k,
+        save_only_last_obs=True, ignore_obs_next=True, sample_avail=True,
+    )
+    ex = Batch(
+        obs=np.zeros((k, 1), np.float32), act=np.zeros((), np.int32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros((k, 1), np.float32),
+    )
+    st = buf.init(ex)
+    # episode 1: length 5 (positions 0-4); episode 2: length 2 (5-6, too
+    # short for a full 3-stack); episode 3: length 4 (7-10)
+    step = 0
+    for ep_len in (5, 2, 4):
+        for j in range(ep_len):
+            st = buf.add(
+                st, _stacked_tr(step, k, terminated=(j == ep_len - 1)).to_jax()
+            )
+            step += 1
+    env_idx, pos = buf.sample_indices(st, jax.random.key(0), 512)
+    pos_np = np.asarray(pos)
+    # valid: positions 2,3,4 (ep 1 with >=2 predecessors) and 9,10 (ep 3)
+    valid = {2, 3, 4, 9, 10}
+    assert set(pos_np.tolist()) <= valid, sorted(set(pos_np.tolist()))
+    # all valid slots actually get sampled
+    assert set(pos_np.tolist()) == valid
+
+
+def test_framestack_dqn_dedup_trains():
+    """End-to-end: frame-stacked CartPole DQN training from a deduplicated
+    (save_only_last_obs + ignore_obs_next) buffer reaches the reward bar —
+    the memory layout that makes a 1M-transition pixel buffer fit in HBM."""
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.envs.wrappers import FrameStack
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = FrameStack(CartPole(), 4)
+    algo = DQN(
+        network=QNet((64, 64), 2),
+        action_space=env.action_space,
+        gamma=0.9,
+        n_step=1,
+        target_update_freq=100,
+    )
+    buffer = ReplayBuffer(
+        capacity=1000, num_envs=8, stack_num=4,
+        save_only_last_obs=True, ignore_obs_next=True, sample_avail=True,
+    )
+    trainer = OffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 8), buffer),
+        Collector(algo, VectorEnv(env, 8)),
+        buffer,
+        max_epoch=3,
+        step_per_epoch=5000,
+        step_per_collect=80,
+        update_per_step=0.125,
+        batch_size=64,
+        train_param_fn=lambda e, s: 0.1,
+        stop_fn=lambda rew: rew >= 150,
+        warmup_steps=500,
+        seed=2,
+    )
+    info = trainer.run()
+    assert info.best_reward >= 150, f"best={info.best_reward}"
+
+
 def test_her_future_offset_uniform_over_remainder():
     """The 'future' offset follows the reference's ``round(uniform *
     remainder)`` distribution (``her.py:126-130``): for an episode much

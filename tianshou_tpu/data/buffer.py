@@ -71,16 +71,66 @@ class ReplayBuffer:
     per-step policy outputs).  ``done`` is derived, not stored.
     """
 
-    def __init__(self, capacity: int, num_envs: int = 1, stack_num: int = 1):
+    def __init__(
+        self,
+        capacity: int,
+        num_envs: int = 1,
+        stack_num: int = 1,
+        save_only_last_obs: bool = False,
+        ignore_obs_next: bool = False,
+        sample_avail: bool = False,
+    ):
+        """Memory options mirror the reference (``buffer/base.py:55-77``),
+        the difference between a 1M-transition pixel buffer fitting in HBM
+        or not:
+
+        - ``save_only_last_obs``: the env emits frame-stacked observations
+          ``[stack, ...]``; store only the newest frame per slot and
+          reconstruct the stack at sample time from the ``prev`` chain
+          (reference dedup at insert, ``base.py:267-272``).
+        - ``ignore_obs_next``: do not store ``obs_next`` at all; sampling
+          reconstructs it as the observation at ``next(pos)`` (reference
+          ``base.py:401-405``; at episode ends, where ``next`` saturates,
+          this repeats the current obs — harmless because terminal values
+          are bootstrap-masked).
+        - ``sample_avail``: with ``stack_num > 1``, only sample indices
+          whose full frame stack lies within one episode (reference
+          stack-validity masking, ``base.py:306-328``).
+        """
         assert capacity > 0 and num_envs > 0 and stack_num >= 1
         self.capacity = capacity
         self.num_envs = num_envs
         self.stack_num = stack_num
+        self.save_only_last_obs = save_only_last_obs
+        self.ignore_obs_next = ignore_obs_next
+        self.sample_avail = sample_avail
+
+    # -- storage-layout transform (memory options) ---------------------------
+    def _to_storage_layout(self, transition: Batch | Any, batched: bool) -> Any:
+        """Apply the memory options to an incoming transition: keep only the
+        newest frame of stacked observations and/or drop ``obs_next``.
+        ``batched`` selects between ``[num_envs, ...]`` leaves (add path)
+        and bare single-transition leaves (init example)."""
+        if not (self.save_only_last_obs or self.ignore_obs_next):
+            return transition
+        tr = dict(transition.items()) if hasattr(transition, "items") else dict(transition)
+        if self.save_only_last_obs:
+            for k in ("obs", "obs_next"):
+                if k in tr:
+                    tr[k] = tr[k][:, -1] if batched else tr[k][-1]
+        if self.ignore_obs_next:
+            tr.pop("obs_next", None)
+        return Batch(tr) if isinstance(transition, Batch) else tr
 
     # -- construction ------------------------------------------------------
     def init(self, example_transition: Batch | Any) -> ReplayBufferState:
         """Allocate zeroed storage from a single-step example pytree
-        (leaves shaped like one env's transition, no leading batch dims)."""
+        (leaves shaped like one env's transition, no leading batch dims;
+        with ``save_only_last_obs`` the example obs carries its leading
+        frame-stack axis, which is dropped in storage)."""
+        example_transition = self._to_storage_layout(
+            example_transition, batched=False
+        )
         storage = tree_zeros_like_leading(
             example_transition, (self.num_envs, self.capacity)
         )
@@ -93,6 +143,7 @@ class ReplayBuffer:
     # -- writing -----------------------------------------------------------
     def add(self, state: ReplayBufferState, transition: Batch | Any) -> ReplayBufferState:
         """Write one transition per env (leaves ``[num_envs, ...]``)."""
+        transition = self._to_storage_layout(transition, batched=True)
         env_ids = jnp.arange(self.num_envs)
         storage = jax.tree.map(
             lambda buf, val: buf.at[env_ids, state.cursor].set(val),
@@ -110,10 +161,15 @@ class ReplayBuffer:
         state: ReplayBufferState,
         transition: Batch | Any,
         mask: jax.Array,
+        in_storage_layout: bool = False,
     ) -> ReplayBufferState:
         """Write one transition for the envs where ``mask`` is True only
         (the async-collection path: not all envs produce a transition every
-        tick, reference ``AsyncCollector`` ``collector.py:671-943``)."""
+        tick, reference ``AsyncCollector`` ``collector.py:671-943``).
+        ``in_storage_layout`` skips the memory-option transform for values
+        already in storage layout (the ``merge`` path)."""
+        if not in_storage_layout:
+            transition = self._to_storage_layout(transition, batched=True)
         env_ids = jnp.arange(self.num_envs)
         mask = mask.astype(bool)
 
@@ -174,8 +230,20 @@ class ReplayBuffer:
 
         Returns ``(env_idx, pos)`` each ``[batch_size]``.  Proportional
         cross-env sampling as in the reference manager
-        (``buffer/manager.py:172-206``).
+        (``buffer/manager.py:172-206``).  With ``sample_avail`` and
+        ``stack_num > 1``, sampling is uniform over the slots whose full
+        frame stack lies within one episode (reference stack-validity
+        masking, ``buffer/base.py:306-328``) via inverse-CDF over the
+        validity mask.
         """
+        if self.sample_avail and self.stack_num > 1:
+            mask = self._avail_mask(state).reshape(-1)  # [num_envs*capacity]
+            cum = jnp.cumsum(mask.astype(jnp.int32))
+            total = jnp.maximum(cum[-1], 1)
+            u = jax.random.randint(key, (batch_size,), 0, total)
+            flat = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
+            flat = jnp.minimum(flat, self.num_envs * self.capacity - 1)
+            return flat // self.capacity, flat % self.capacity
         sizes = state.size
         total = jnp.maximum(jnp.sum(sizes), 1)
         flat = jax.random.randint(key, (batch_size,), 0, total)
@@ -188,6 +256,41 @@ class ReplayBuffer:
         pos = (start + offset_in_env) % self.capacity
         return env_idx, pos
 
+    def _avail_mask(self, state: ReplayBufferState) -> jax.Array:
+        """[num_envs, capacity] bool: slots holding a complete in-episode
+        frame stack.  A slot qualifies when the ``prev`` chain makes
+        ``stack_num - 1`` real (non-saturating) steps — saturation happens
+        at episode starts and at the oldest element, exactly the cases the
+        reference excludes."""
+        env = jnp.broadcast_to(
+            jnp.arange(self.num_envs)[:, None], (self.num_envs, self.capacity)
+        ).reshape(-1)
+        pos = jnp.broadcast_to(
+            jnp.arange(self.capacity)[None, :], (self.num_envs, self.capacity)
+        ).reshape(-1)
+        steps = jnp.zeros_like(pos)
+        cur = pos
+        for _ in range(self.stack_num - 1):
+            prv = self.prev_pos(state, env, cur)
+            steps = steps + (prv != cur).astype(pos.dtype)
+            cur = prv
+        valid_slot = (
+            jnp.arange(self.capacity)[None, :]
+            < self._age_limit(state)[:, None]
+        )
+        full_stack = (steps == self.stack_num - 1).reshape(
+            self.num_envs, self.capacity
+        )
+        return valid_slot & full_stack
+
+    def _age_limit(self, state: ReplayBufferState) -> jax.Array:
+        """Per-env count below which a raw ring slot holds valid data:
+        when the ring is full every slot is valid; otherwise slots
+        ``[0, size)`` are (writes start at 0)."""
+        return jnp.where(
+            state.size >= self.capacity, self.capacity, state.size
+        )
+
     def get(
         self,
         state: ReplayBufferState,
@@ -195,11 +298,34 @@ class ReplayBuffer:
         pos: jax.Array,
         keys: tuple[str, ...] | None = None,
     ) -> Batch:
-        """Gather transitions at ``(env_idx, pos)``; adds derived ``done``."""
-        src = state.storage
-        if keys is not None:
-            src = Batch({k: src[k] for k in keys})
-        out = tree_slice(src, (env_idx, pos))
+        """Gather transitions at ``(env_idx, pos)``; adds derived ``done``.
+
+        Observation keys honor the memory options (reference ``get``,
+        ``buffer/base.py:340-405``): with ``stack_num > 1``, ``obs`` /
+        ``obs_next`` come back stacked ``[B, stack, ...]`` (oldest frame
+        first); with ``ignore_obs_next``, ``obs_next`` is reconstructed as
+        the obs (stack) ending at ``next(pos)``.
+        """
+        if keys is None:
+            keys = tuple(state.storage.keys())
+            if self.ignore_obs_next and "obs_next" not in keys:
+                keys = keys + ("obs_next",)
+        out = Batch()
+        stacked = self.stack_num > 1
+        for k in keys:
+            if k == "obs" and stacked:
+                out[k] = self.stacked_obs(state, env_idx, pos)
+            elif k == "obs_next" and self.ignore_obs_next:
+                nxt = self.next_pos(state, env_idx, pos)
+                out[k] = (
+                    self.stacked_obs(state, env_idx, nxt)
+                    if stacked
+                    else state.storage["obs"][env_idx, nxt]
+                )
+            elif k == "obs_next" and stacked:
+                out[k] = self.stacked_obs(state, env_idx, pos, obs_key="obs_next")
+            else:
+                out[k] = tree_slice(state.storage[k], (env_idx, pos))
         if "terminated" in out and "truncated" in out:
             out["done"] = out["terminated"] | out["truncated"]
         return out
@@ -307,7 +433,7 @@ class ReplayBuffer:
             pos = (start + t) % src.capacity
             tr = tree_slice(src_state.storage, (env_ids, pos))
             mask = t < src_state.size
-            return self.add_masked(st, tr, mask), None
+            return self.add_masked(st, tr, mask, in_storage_layout=True), None
 
         state, _ = jax.lax.scan(_body, state, jnp.arange(src.capacity))
         return state

@@ -16,7 +16,52 @@ import numpy as np
 from tianshou_tpu.envs.base import JaxEnv, StepResult
 from tianshou_tpu.envs.spaces import Box, Discrete, MultiDiscrete
 
-__all__ = ["ContinuousToDiscrete", "MultiDiscreteToDiscrete", "TruncatedAsTerminated"]
+__all__ = [
+    "ContinuousToDiscrete",
+    "MultiDiscreteToDiscrete",
+    "TruncatedAsTerminated",
+    "FrameStack",
+]
+
+
+class FrameStack(JaxEnv):
+    """Stack the last ``num_stack`` observations along a new leading axis
+    (the Atari frame-stack convention, reference
+    ``examples/atari/atari_wrapper.py`` FrameStack).
+
+    Pairs with ``ReplayBuffer(stack_num=k, save_only_last_obs=True,
+    ignore_obs_next=True)``: the env emits ``[k, ...]`` stacks for acting,
+    while the buffer stores each frame exactly once and reconstructs stacks
+    at sample time — the reference's deduplicated pixel-buffer layout.
+    On reset the initial observation is repeated ``num_stack`` times.
+    """
+
+    def __init__(self, env: JaxEnv, num_stack: int):
+        assert num_stack >= 1
+        self.env = env
+        self.num_stack = num_stack
+        sp = env.observation_space
+        assert isinstance(sp, Box), "FrameStack requires Box observations"
+        self.observation_space = Box(
+            low=sp.low * num_stack if isinstance(sp.low, tuple) else sp.low,
+            high=sp.high * num_stack if isinstance(sp.high, tuple) else sp.high,
+            shape=(num_stack,) + sp.shape,
+        )
+        self.action_space = env.action_space
+
+    def _stack(self, frames: jax.Array, obs: jax.Array) -> jax.Array:
+        return jnp.concatenate([frames[1:], obs[None]], axis=0)
+
+    def reset(self, key):
+        s, obs = self.env.reset(key)
+        frames = jnp.tile(obs[None], (self.num_stack,) + (1,) * jnp.ndim(obs))
+        return (s, frames), frames
+
+    def step(self, state, action):
+        s, frames = state
+        s, res = self.env.step(s, action)
+        frames = self._stack(frames, res.obs)
+        return (s, frames), res._replace(obs=frames)
 
 
 class ContinuousToDiscrete(JaxEnv):

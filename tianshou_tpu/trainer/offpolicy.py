@@ -58,6 +58,7 @@ class OffPolicyTrainer:
         show_progress: bool = False,
         profile_dir: str | None = None,
         smooth_window: int = 1,
+        pipeline_host_updates: bool = True,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -83,6 +84,12 @@ class OffPolicyTrainer:
         self.show_progress = show_progress
         self.profile_dir = profile_dir
         self.smooth_window = smooth_window
+        # host path: overlap env stepping of segment s+1 with the device
+        # update scan of segment s (double-buffered feed, the role of the
+        # reference's shmem/EnvPool pipelining, env/worker/subproc.py:34-76).
+        # Costs one extra segment of policy-parameter staleness during
+        # collection; set False for strictly sequential reference semantics.
+        self.pipeline_host_updates = pipeline_host_updates
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -122,13 +129,17 @@ class OffPolicyTrainer:
         return jax.jit(superstep, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
-    def _build_update_scan(self):
-        """Jitted k-update scan for the host-env path (collect happens on
-        host; only the update loop runs as one XLA program)."""
+    def _build_host_step(self):
+        """One jitted program per host-path segment: write the segment's
+        ``[T, N, ...]`` trajectory into the device ring buffer, then run the
+        k-update scan — one dispatch per collect/update cycle (the
+        host↔device analog of the fully fused device super-step)."""
         algo, buffer, batch_size = self.algo, self.buffer, self.batch_size
         n_updates = self.updates_per_segment
 
-        def updates(ts, bstate, key):
+        def step(ts, bstate, traj, key):
+            bstate = buffer.add_trajectory(bstate, traj)
+
             def upd(carry, k):
                 ts_c, bst = carry
                 ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
@@ -138,7 +149,7 @@ class OffPolicyTrainer:
             (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
             return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
 
-        return jax.jit(updates)
+        return jax.jit(step, donate_argnums=(1,))
 
     def _run_host(self) -> InfoStats:
         """Training loop over host-process (gymnasium) envs: threaded env
@@ -178,9 +189,18 @@ class OffPolicyTrainer:
             )
             env_step += stats.n_collected_steps
 
-        updates_fn = self._build_update_scan()
+        host_step = self._build_host_step()
         stop_triggered = False
         epoch = 0
+        # Pipelined feed: ``ts_act`` holds the params the collector acts
+        # with.  With pipelining, acting uses the params from *before* the
+        # in-flight update scan, so the host steps segment s+1's envs while
+        # the device runs segment s's updates (JAX async dispatch supplies
+        # the double buffering); metrics are logged one segment late to
+        # avoid forcing a sync.  All ``ts``/``bstate`` bindings below are
+        # device futures — only np.asarray/float force completion.
+        ts_act = ts
+        metrics = None
         with RunContext(
             (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="offpolicy",
@@ -190,17 +210,23 @@ class OffPolicyTrainer:
                 while steps_this_epoch < self.step_per_epoch:
                     explore_param = float(self.train_param_fn(epoch, env_step))
                     key, k_c, k_u = jax.random.split(key, 3)
-                    bstate, stats, _ = col.collect(
-                        ts, bstate, self.segment_len, k_c,
+                    _, stats, traj = col.collect(
+                        ts_act, None, self.segment_len, k_c,
                         explore=True, explore_param=explore_param,
+                        record_traj=True,
                     )
-                    ts, bstate, metrics = updates_fn(ts, bstate, k_u)
+                    if metrics is not None:
+                        # previous segment's update finished during this
+                        # segment's env stepping; cheap scalar fetch
+                        last_metrics = self.smooth(
+                            {k: float(v) for k, v in metrics.items()}
+                        )
+                    ts_prev = ts
+                    ts, bstate, metrics = host_step(ts, bstate, traj, k_u)
+                    ts_act = ts_prev if self.pipeline_host_updates else ts
                     env_step += self.steps_per_segment
                     steps_this_epoch += self.steps_per_segment
                     grad_step += self.updates_per_segment
-                    last_metrics = self.smooth(
-                        {k: float(v) for k, v in metrics.items()}
-                    )
                     rc.step(self.steps_per_segment, last_metrics)
                     # opportunistic in-training test (trainer/base.py:469-510)
                     if (
