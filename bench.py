@@ -1,17 +1,22 @@
-"""Headline benchmark: fused DQN training pipeline throughput on CartPole.
+"""Headline benchmark: fused DQN training pipeline throughput on CartPole,
+plus a conv/MXU workload (MinAtar Breakout ConvDQN) reporting MFU.
 
 Measures env-steps/s of the COMPLETE off-policy pipeline — jitted collector
 (1024 on-device CartPole instances in lockstep) + ring-buffer writes +
 n-step-target DQN updates at the reference's samples-per-env-step training
 ratio (update_per_step=0.1 x batch 64 == 6.4 sampled transitions per env
-step, here served as batch-1024 updates).
+step, here served as batch-1024 updates).  Round-2 pipeline: the k-update
+scan consumes ONE batched gather of all k x batch indices + n-step chains
+(`build_update_scan`), so the scan body is pure compute.
 
 Baseline: the reference (Tianshou v1.0.0) publishes no env-steps/s tables
 (BASELINE.md); its CartPole DQN test config (test/discrete/test_dqn.py:
 10 subprocess envs + CPU/GPU learner) sustains on the order of 1.5k
 env-steps/s end to end.  vs_baseline is measured against that estimate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  The conv
+bench is printed as a prefixed diagnostic line ("conv_bench: ...") so the
+driver's JSON parse stays unambiguous.
 """
 
 import json
@@ -30,42 +35,32 @@ BATCH_SIZE = 1024
 # reference ratio: 6.4 sampled transitions per env step
 UPDATES_PER_SEGMENT = max(1, round(6.4 * NUM_ENVS * SEGMENT_LEN / BATCH_SIZE))
 
+# MXU peak for MFU accounting (TPU v5e: ~197 TFLOP/s bf16; fall back to a
+# nominal CPU figure when benching off-device so the number stays defined)
+PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e11}
 
-def main():
+
+def _bench_pipeline(algo, env, num_envs, segment_len, batch_size,
+                    updates_per_segment, n_iters=5, explore_param=0.1):
+    """Build the fused superstep for (algo, env) and time it.  Returns
+    (env_steps_per_sec, seconds_per_iter, superstep_fn, args)."""
     import jax
 
-    from tianshou_tpu.algos.dqn import DQN
     from tianshou_tpu.collect.collector import Collector
     from tianshou_tpu.data.buffer import ReplayBuffer
     from tianshou_tpu.envs.base import VectorEnv
-    from tianshou_tpu.envs.classic import CartPole
-    from tianshou_tpu.networks.common import QNet
     from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
 
-    env = CartPole()
-    venv = VectorEnv(env, NUM_ENVS)
-    algo = DQN(
-        network=QNet(hidden_sizes=(128, 128, 128), num_actions=2),
-        action_space=env.action_space,
-        lr=1e-3,
-        gamma=0.9,
-        n_step=3,
-        target_update_freq=320,
-    )
-    buffer = ReplayBuffer(capacity=64, num_envs=NUM_ENVS)  # 65k transitions
+    venv = VectorEnv(env, num_envs)
+    buffer = ReplayBuffer(capacity=64, num_envs=num_envs)
     collector = Collector(algo, venv, buffer)
     trainer = OffPolicyTrainer(
-        algo,
-        collector,
-        collector,
-        buffer,
-        max_epoch=1,
-        step_per_epoch=1,
-        step_per_collect=NUM_ENVS * SEGMENT_LEN,
-        update_per_step=UPDATES_PER_SEGMENT / (NUM_ENVS * SEGMENT_LEN),
-        batch_size=BATCH_SIZE,
+        algo, collector, collector, buffer,
+        max_epoch=1, step_per_epoch=1,
+        step_per_collect=num_envs * segment_len,
+        update_per_step=updates_per_segment / (num_envs * segment_len),
+        batch_size=batch_size,
     )
-
     key = jax.random.key(0)
     cstate = collector.reset(key)
     ts = algo.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
@@ -77,21 +72,98 @@ def main():
     # the computation actually finishes.
     for i in range(2):
         ts, cstate, bstate, outputs, metrics = superstep(
-            ts, cstate, bstate, jax.random.key(10 + i), 0.1
+            ts, cstate, bstate, jax.random.key(10 + i), explore_param
         )
-    float(metrics["loss"])
+    first = next(iter(metrics.values()))
+    float(first)
 
-    n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):
         ts, cstate, bstate, outputs, metrics = superstep(
-            ts, cstate, bstate, jax.random.key(100 + i), 0.1
+            ts, cstate, bstate, jax.random.key(100 + i), explore_param
         )
-    float(metrics["loss"])
+    float(next(iter(metrics.values())))
     dt = time.perf_counter() - t0
 
-    steps = n_iters * NUM_ENVS * SEGMENT_LEN
-    sps = steps / dt
+    steps = n_iters * num_envs * segment_len
+    return steps / dt, dt / n_iters, superstep, (ts, cstate, bstate)
+
+
+def _program_flops(superstep, args, key):
+    """Total FLOPs of one compiled superstep via XLA cost analysis."""
+    import jax
+
+    ts, cstate, bstate = args
+    try:
+        lowered = superstep.lower(ts, cstate, bstate, key, 0.1)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    import jax
+
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+
+    platform = jax.devices()[0].platform
+    peak = PEAK_FLOPS.get("tpu" if platform not in ("cpu",) else "cpu")
+
+    # ---- headline: MLP DQN CartPole pipeline --------------------------------
+    env = CartPole()
+    algo = DQN(
+        network=QNet(hidden_sizes=(128, 128, 128), num_actions=2),
+        action_space=env.action_space,
+        lr=1e-3, gamma=0.9, n_step=3, target_update_freq=320,
+    )
+    sps, dt_iter, superstep, args = _bench_pipeline(
+        algo, env, NUM_ENVS, SEGMENT_LEN, BATCH_SIZE, UPDATES_PER_SEGMENT
+    )
+
+    # ---- conv/MXU workload: MinAtar Breakout ConvDQN + MFU ------------------
+    try:
+        from tianshou_tpu.envs.minatar import make_minatar
+        from tianshou_tpu.networks.conv import ConvQNet
+
+        conv_env = make_minatar("breakout")
+        conv_envs, conv_seg, conv_batch = 256, 32, 512
+        conv_updates = max(1, round(6.4 * conv_envs * conv_seg / conv_batch))
+        conv_algo = DQN(
+            network=ConvQNet(
+                num_actions=conv_env.action_space.n, encoder="minatar"
+            ),
+            action_space=conv_env.action_space,
+            lr=1e-3, gamma=0.99, n_step=3, target_update_freq=1000,
+        )
+        conv_sps, conv_dt, conv_step, conv_args = _bench_pipeline(
+            conv_algo, conv_env, conv_envs, conv_seg, conv_batch, conv_updates,
+            n_iters=3,
+        )
+        flops = _program_flops(conv_step, conv_args, jax.random.key(7))
+        mfu = (flops / conv_dt) / peak if flops else 0.0
+        print(
+            "conv_bench: "
+            + json.dumps(
+                {
+                    "metric": "dqn_minatar_breakout_conv_env_steps_per_sec",
+                    "value": round(conv_sps, 1),
+                    "unit": "env-steps/s",
+                    "flops_per_superstep": flops,
+                    "achieved_flops_per_sec": round(flops / conv_dt, 3)
+                    if flops else 0.0,
+                    "mfu_vs_bf16_peak": round(mfu, 4),
+                    "platform": platform,
+                }
+            )
+        )
+    except Exception as e:  # conv bench is diagnostic; never break the headline
+        print(f"conv_bench: skipped ({type(e).__name__}: {e})")
+
     print(
         json.dumps(
             {

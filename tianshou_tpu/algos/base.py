@@ -167,6 +167,39 @@ class Algorithm:
         return env_idx, pos, weight, batch, rew_chain, done_chain, term
 
     # -- learning (off-policy / offline) ------------------------------------
+    #: algorithms whose :meth:`update` factors into ``_sample_nstep`` +
+    #: :meth:`update_sampled` set this True, which lets the trainer hoist
+    #: ONE gather of ``k * batch`` indices + n-step chains out of the
+    #: k-update scan (the batched multi-update sampling optimization;
+    #: exact semantics for uniform replay, where sampling does not depend
+    #: on the updates in between).
+    supports_presampled = False
+
+    def presample(
+        self,
+        buffer: ReplayBuffer,
+        bstate: ReplayBufferState,
+        key: jax.Array,
+        batch_size: int,
+    ) -> tuple:
+        """The gather stage of :meth:`update` (indices, weights, n-step
+        chains): a pure pytree of ``[batch_size, ...]`` leaves that
+        :meth:`update_sampled` consumes.  The trainer exploits this split
+        to gather ``k * batch`` samples in ONE call outside the k-update
+        scan (batched multi-update sampling — exact for uniform replay)."""
+        return self._sample_nstep(buffer, bstate, key, batch_size, self.n_step)
+
+    def update_sampled(
+        self,
+        ts: TrainState,
+        buffer: ReplayBuffer,
+        bstate: ReplayBufferState,
+        sampled: tuple,
+        key: jax.Array,
+    ) -> tuple[TrainState, ReplayBufferState, dict[str, jax.Array]]:
+        """One gradient step from a pre-sampled :meth:`presample` tuple."""
+        raise NotImplementedError
+
     def update(
         self,
         ts: TrainState,
@@ -178,7 +211,11 @@ class Algorithm:
         """One gradient step: sample -> targets -> SGD.  Returns the (possibly
         updated) buffer state so PER priority write-back (the reference's
         ``post_process_fn``) stays functional."""
-        raise NotImplementedError
+        if not self.supports_presampled:
+            raise NotImplementedError
+        k_s, k_l = jax.random.split(key)
+        sampled = self.presample(buffer, bstate, k_s, batch_size)
+        return self.update_sampled(ts, buffer, bstate, sampled, k_l)
 
     # -- learning (on-policy) ------------------------------------------------
     def process_rollout(

@@ -110,23 +110,18 @@ class C51(DQN):
         )
         return m
 
-    def update(
+    supports_presampled = True
+
+    def update_sampled(
         self,
         ts: TrainState,
         buffer: ReplayBuffer,
         bstate: ReplayBufferState,
+        sampled: tuple,
         key: jax.Array,
-        batch_size: int,
     ):
-        k_sample, k_n1, k_n2 = jax.random.split(key, 3)
-        env_idx, pos, weight = buffer.sample_with_weights(
-            bstate, k_sample, batch_size
-        )
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
+        k_n1, k_n2 = jax.random.split(key)
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         returns, discount = nstep_return_components(
             rew_chain, done_chain, self.gamma

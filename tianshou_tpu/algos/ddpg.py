@@ -139,18 +139,18 @@ class DDPG(Algorithm):
         )
         return ts, loss
 
-    def update(
+    supports_presampled = True
+
+    def update_sampled(
         self,
         ts: ACTrainState,
         buffer: ReplayBuffer,
         bstate: ReplayBufferState,
+        sampled: tuple,
         key: jax.Array,
-        batch_size: int,
     ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
-        k_sample, k_tgt = jax.random.split(key)
-        env_idx, pos, weight, batch, rew_chain, done_chain, term = (
-            self._sample_nstep(buffer, bstate, k_sample, batch_size, self.n_step)
-        )
+        k_tgt = key
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         q_term = self._target_q(ts, term["obs_next"], mask, k_tgt)
         target = jax.lax.stop_gradient(

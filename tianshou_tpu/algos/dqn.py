@@ -123,22 +123,17 @@ class DQN(Algorithm):
             loss = (weight * td**2).mean()
         return loss, jnp.abs(td)
 
-    def update(
+    supports_presampled = True
+
+    def update_sampled(
         self,
         ts: TrainState,
         buffer: ReplayBuffer,
         bstate: ReplayBufferState,
+        sampled: tuple,
         key: jax.Array,
-        batch_size: int,
     ) -> tuple[TrainState, ReplayBufferState, dict[str, jax.Array]]:
-        env_idx, pos, weight = buffer.sample_with_weights(bstate, key, batch_size)
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(
-            bstate, env_idx, term_pos, keys=("obs_next", "terminated")
-        )
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         # value_mask: bootstrap unless terminated (policy/base.py:553-571)
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         q_term = self._target_q(ts, term["obs_next"], mask)

@@ -83,6 +83,11 @@ class QRDQN(DQN):
         )
         return env_idx, pos, weight, batch, term, mask, returns, discount
 
+    # the quantile family presamples via ``_sample_batch`` (includes the
+    # decomposed n-step return components) instead of the base
+    # ``_sample_nstep`` tuple
+    presample = _sample_batch
+
     def _finish_update(self, ts, loss_grads):
         loss, grads = loss_grads
         updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
@@ -99,11 +104,8 @@ class QRDQN(DQN):
             params=params, target_params=target_params, opt_state=opt_state, step=step
         )
 
-    def update(self, ts, buffer, bstate, key, batch_size):
-        k_s, _ = jax.random.split(key)
-        env_idx, pos, weight, batch, term, mask, returns, discount = (
-            self._sample_batch(buffer, bstate, k_s, batch_size)
-        )
+    def update_sampled(self, ts, buffer, bstate, sampled, key):
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
         theta_t = self.quantiles(ts.target_params, term["obs_next"])  # [B, A, K]
         if self.is_double:
             a_star = jnp.argmax(self.q_values(ts.params, term["obs_next"]), axis=-1)
@@ -115,7 +117,9 @@ class QRDQN(DQN):
         target = jax.lax.stop_gradient(
             returns[:, None] + (discount * mask)[:, None] * theta_star
         )
-        tau_hats = jnp.broadcast_to(self.tau_hats, (batch_size, self.num_quantiles))
+        tau_hats = jnp.broadcast_to(
+            self.tau_hats, (returns.shape[0], self.num_quantiles)
+        )
 
         def loss_fn(params):
             theta = self.quantiles(params, batch["obs"])
@@ -181,11 +185,9 @@ class IQN(QRDQN):
         take = jax.random.uniform(k2, greedy.shape) < explore_param
         return jnp.where(take, rand, greedy).astype(jnp.int32), Batch()
 
-    def update(self, ts, buffer, bstate, key, batch_size):
-        k_s, k_tgt, k_onl, k_dbl = jax.random.split(key, 4)
-        env_idx, pos, weight, batch, term, mask, returns, discount = (
-            self._sample_batch(buffer, bstate, k_s, batch_size)
-        )
+    def update_sampled(self, ts, buffer, bstate, sampled, key):
+        k_tgt, k_onl, k_dbl = jax.random.split(key, 3)
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
         theta_t, _ = self._quantiles_sampled(
             ts.target_params, term["obs_next"], k_tgt, self.target_sample_size
         )
@@ -301,11 +303,8 @@ class FQF(QRDQN):
         take = jax.random.uniform(k2, greedy.shape) < explore_param
         return jnp.where(take, rand, greedy).astype(jnp.int32), Batch()
 
-    def update(self, ts, buffer, bstate, key, batch_size):
-        k_s, _ = jax.random.split(key)
-        env_idx, pos, weight, batch, term, mask, returns, discount = (
-            self._sample_batch(buffer, bstate, k_s, batch_size)
-        )
+    def update_sampled(self, ts, buffer, bstate, sampled, key):
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
         act = batch["act"].astype(jnp.int32)
 
         # target: quantiles of the target net at the online fractions

@@ -41,23 +41,18 @@ class REDQ(SAC):
         self.actor_delay = actor_delay
         self.target_mode = target_mode
 
-    def update(
+    supports_presampled = True
+
+    def update_sampled(
         self,
         ts: ACTrainState,
         buffer: ReplayBuffer,
         bstate: ReplayBufferState,
+        sampled: tuple,
         key: jax.Array,
-        batch_size: int,
     ):
-        k_sample, k_tgt, k_pi, k_sub = jax.random.split(key, 4)
-        env_idx, pos, weight = buffer.sample_with_weights(
-            bstate, k_sample, batch_size
-        )
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
+        k_tgt, k_pi, k_sub = jax.random.split(key, 3)
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         alpha = jnp.exp(ts.log_alpha)
 

@@ -105,18 +105,18 @@ class SAC(Algorithm):
         return tanh_normal_sample_and_log_prob(key, mu, sigma)
 
     # ------------------------------------------------------------------
-    def update(
+    supports_presampled = True
+
+    def update_sampled(
         self,
         ts: ACTrainState,
         buffer: ReplayBuffer,
         bstate: ReplayBufferState,
+        sampled: tuple,
         key: jax.Array,
-        batch_size: int,
     ) -> tuple[ACTrainState, ReplayBufferState, dict[str, jax.Array]]:
-        k_sample, k_tgt, k_pi = jax.random.split(key, 3)
-        env_idx, pos, weight, batch, rew_chain, done_chain, term = (
-            self._sample_nstep(buffer, bstate, k_sample, batch_size, self.n_step)
-        )
+        k_tgt, k_pi = jax.random.split(key)
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         alpha = jnp.exp(ts.log_alpha)
 
@@ -253,16 +253,10 @@ class DiscreteSAC(Algorithm):
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), Batch()
         return categorical_sample(key, logits), Batch()
 
-    def update(self, ts, buffer, bstate, key, batch_size):
-        k_sample, _ = jax.random.split(key)
-        env_idx, pos, weight = buffer.sample_with_weights(
-            bstate, k_sample, batch_size
-        )
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
+    supports_presampled = True
+
+    def update_sampled(self, ts, buffer, bstate, sampled, key):
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         alpha = jnp.exp(ts.log_alpha)
 

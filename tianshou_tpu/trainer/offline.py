@@ -57,20 +57,14 @@ class OfflineTrainer:
         self.save_best_fn = save_best_fn
 
     def _build_superstep(self):
-        algo, buffer, batch_size = self.algo, self.buffer, self.batch_size
-        n = self.updates_per_superstep
+        from tianshou_tpu.trainer.offpolicy import build_update_scan
 
-        def superstep(ts, bstate, key):
-            def upd(carry, k):
-                ts_c, bst = carry
-                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
-                return (ts_c, bst), metrics
-
-            keys = jax.random.split(key, n)
-            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
-            return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
-
-        return jax.jit(superstep)
+        return jax.jit(
+            build_update_scan(
+                self.algo, self.buffer, self.batch_size,
+                self.updates_per_superstep,
+            )
+        )
 
     def run(self) -> InfoStats:
         t0 = time.time()

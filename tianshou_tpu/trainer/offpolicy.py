@@ -27,7 +27,63 @@ from tianshou_tpu.data.stats import InfoStats
 from tianshou_tpu.collect.collector import rollout_segment
 from tianshou_tpu.trainer.hooks import MetricSmoother, RunContext
 
-__all__ = ["OffPolicyTrainer"]
+__all__ = ["OffPolicyTrainer", "build_update_scan"]
+
+
+def build_update_scan(algo: Algorithm, buffer: ReplayBuffer, batch_size: int,
+                      n_updates: int):
+    """Build ``(ts, bstate, key) -> (ts, bstate, mean_metrics)``: the
+    k-update scan shared by the trainers.
+
+    When the algorithm factors its update into ``presample`` +
+    ``update_sampled`` and sampling is update-independent (uniform replay —
+    PER priorities change between updates, so PER keeps per-update
+    sampling for exact reference semantics), ALL ``k * batch`` indices,
+    importance weights and n-step chains are gathered in ONE call outside
+    the scan; the scan body is then pure compute (targets + SGD), which
+    removes the per-iteration gather latency that dominated the update
+    scan at MLP scale (docs/PERFORMANCE.md round-1 profiling).
+    """
+    from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+
+    presampled = (
+        getattr(algo, "supports_presampled", False)
+        and not isinstance(buffer, PrioritizedReplayBuffer)
+    )
+
+    if presampled:
+
+        def updates(ts, bstate, key):
+            k_s, k_l = jax.random.split(key)
+            sampled = algo.presample(buffer, bstate, k_s, n_updates * batch_size)
+            views = jax.tree.map(
+                lambda x: x.reshape((n_updates, batch_size) + x.shape[1:]),
+                sampled,
+            )
+            keys = jax.random.split(k_l, n_updates)
+
+            def upd(carry, xs):
+                ts_c, bst = carry
+                s, k = xs
+                ts_c, bst, metrics = algo.update_sampled(ts_c, buffer, bst, s, k)
+                return (ts_c, bst), metrics
+
+            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), (views, keys))
+            return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
+
+    else:
+
+        def updates(ts, bstate, key):
+            def upd(carry, k):
+                ts_c, bst = carry
+                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
+                return (ts_c, bst), metrics
+
+            keys = jax.random.split(key, n_updates)
+            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
+            return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
+
+    return updates
 
 
 class OffPolicyTrainer:
@@ -111,19 +167,13 @@ class OffPolicyTrainer:
             explore=True,
             record_traj=False,
         )
-        n_updates, batch_size = self.updates_per_segment, self.batch_size
+        updates_fn = build_update_scan(
+            algo, buffer, self.batch_size, self.updates_per_segment
+        )
 
         def superstep(ts, cstate, bstate, key, explore_param):
             cstate, bstate, outputs = seg(ts, cstate, bstate, explore_param)
-
-            def upd(carry, k):
-                ts_c, bst = carry
-                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
-                return (ts_c, bst), metrics
-
-            keys = jax.random.split(key, n_updates)
-            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
-            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            ts, bstate, metrics = updates_fn(ts, bstate, key)
             return ts, cstate, bstate, outputs, metrics
 
         return jax.jit(superstep, donate_argnums=(2,))
@@ -134,20 +184,14 @@ class OffPolicyTrainer:
         ``[T, N, ...]`` trajectory into the device ring buffer, then run the
         k-update scan — one dispatch per collect/update cycle (the
         host↔device analog of the fully fused device super-step)."""
-        algo, buffer, batch_size = self.algo, self.buffer, self.batch_size
-        n_updates = self.updates_per_segment
+        buffer = self.buffer
+        updates_fn = build_update_scan(
+            self.algo, buffer, self.batch_size, self.updates_per_segment
+        )
 
         def step(ts, bstate, traj, key):
             bstate = buffer.add_trajectory(bstate, traj)
-
-            def upd(carry, k):
-                ts_c, bst = carry
-                ts_c, bst, metrics = algo.update(ts_c, buffer, bst, k, batch_size)
-                return (ts_c, bst), metrics
-
-            keys = jax.random.split(key, n_updates)
-            (ts, bstate), metrics = jax.lax.scan(upd, (ts, bstate), keys)
-            return ts, bstate, jax.tree.map(lambda m: m.mean(), metrics)
+            return updates_fn(ts, bstate, key)
 
         return jax.jit(step, donate_argnums=(1,))
 
