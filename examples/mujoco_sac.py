@@ -28,6 +28,11 @@ def main():
     p.add_argument("--buffer-size", type=int, default=1000000)
     p.add_argument("--start-timesteps", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    # reference defaults: fixed alpha 0.2 (mujoco_sac.py:31-32 — auto-alpha
+    # is opt-in there too, and the published benchmarks use the defaults)
+    p.add_argument("--alpha", type=float, default=0.2)
+    p.add_argument("--auto-alpha", action="store_true")
+    p.add_argument("--logdir", default=None)
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -57,8 +62,9 @@ def main():
         action_space=act_space,
         actor_lr=1e-3,
         critic_lr=1e-3,
+        alpha=args.alpha,
         alpha_lr=3e-4,
-        auto_alpha=True,
+        auto_alpha=args.auto_alpha,
         tau=0.005,
         gamma=0.99,
     )
@@ -68,7 +74,7 @@ def main():
     train_venv = HostVectorEnv([make for _ in range(args.num_envs)])
     test_venv = HostVectorEnv([make for _ in range(args.test_envs)])
     logger = TensorboardLogger(
-        f"log/sac_{args.task}_{args.seed}_{int(time.time())}"
+        args.logdir or f"log/sac_{args.task}_{args.seed}_{int(time.time())}"
     )
     trainer = OffPolicyTrainer(
         algo,

@@ -35,7 +35,16 @@ class HostCollector:
         venv: HostVectorEnv,
         buffer: ReplayBuffer | None = None,
         reward_metric=None,
+        act_on_host: bool | None = None,
     ):
+        """``act_on_host``: run the policy's act function on the host CPU
+        backend, syncing parameters from the accelerator ONCE per collect
+        segment instead of paying a device round trip per env step.  This
+        is the right mode whenever device->host latency dominates (remote/
+        tunneled accelerators); acting params are one segment stale, the
+        same staleness the pipelined trainer already accepts.  Default:
+        auto — on when the default platform is not CPU.
+        """
         self.algo = algo
         self.venv = venv
         self.buffer = buffer
@@ -44,6 +53,14 @@ class HostCollector:
         self.ep_ret = np.zeros(venv.num_envs)
         self.ep_len = np.zeros(venv.num_envs, np.int64)
         self._act_fns: dict = {}
+        if act_on_host is None:
+            act_on_host = jax.default_backend() != "cpu"
+        try:
+            self._cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            self._cpu = None
+            act_on_host = False
+        self.act_on_host = act_on_host
 
     def _act_fn(self, explore: bool):
         if explore not in self._act_fns:
@@ -57,17 +74,33 @@ class HostCollector:
             self._act_fns[explore] = act
         return self._act_fns[explore]
 
+    def _acting_state(self, ts: TrainState, key: jax.Array):
+        """Place (ts, key) for acting: on the CPU backend when
+        ``act_on_host`` (ONE accelerator->host transfer per segment —
+        committed CPU inputs make the jitted act function execute on the
+        CPU backend), unchanged otherwise."""
+        if not self.act_on_host:
+            return ts, key, None
+        ts_cpu = jax.device_put(ts, self._cpu)
+        key_cpu = jax.device_put(key, self._cpu)
+        return ts_cpu, key_cpu, self._cpu
+
     def reset(self, seed: int = 0) -> None:
         self.obs = self.venv.reset(seed)
         self.ep_ret[:] = 0
         self.ep_len[:] = 0
 
     @staticmethod
-    def _device_obs(obs):
+    def _device_obs(obs, device=None):
         """Dict observations (MARL) become Batch pytrees on device."""
         if isinstance(obs, dict):
-            return Batch(obs).to_jax()
-        return jnp.asarray(obs)
+            b = Batch(obs).to_jax()
+            return jax.device_put(b, device) if device is not None else b
+        return (
+            jax.device_put(np.asarray(obs), device)
+            if device is not None
+            else jnp.asarray(obs)
+        )
 
     def _accumulate_rew(self, rew: np.ndarray) -> None:
         """Accumulate raw (possibly per-agent ``[N, A]``) rewards into the
@@ -104,36 +137,51 @@ class HostCollector:
         ``(bstate, stats, traj_or_None)``."""
         assert self.obs is not None, "call reset() first"
         act_fn = self._act_fn(explore)
-        steps: list[Batch] = []
+        # device->host transfers are the cost floor of the host loop (one
+        # tunnel round trip each): with act_on_host, params sync to the CPU
+        # backend ONCE per segment and per-step acting never touches the
+        # accelerator; otherwise the only per-step fetch is the mapped env
+        # action.  Raw actions and policy extras are stacked without
+        # forcing transfers (the buffer they feed lives on device anyway).
+        ts, key, act_dev = self._acting_state(ts, key)
+        host_steps: list[Batch] = []
+        dev_acts: list = []
+        dev_extras: list = []
         returns, lens = [], []
         for t in range(num_steps):
             key, k_act = jax.random.split(key)
             raw_act, env_act, extras = act_fn(
-                ts, self._device_obs(self.obs), k_act, explore_param
+                ts, self._device_obs(self.obs, act_dev), k_act, explore_param
             )
             env_act_np = np.asarray(env_act)
             res, carry = self.venv.step(env_act_np)
             done = res.terminated | res.truncated
             self._accumulate_rew(res.reward)
             self.ep_len += 1
-            tr = Batch(
-                obs=self.obs,
-                act=np.asarray(raw_act),
-                rew=res.reward,
-                terminated=res.terminated,
-                truncated=res.truncated,
-                obs_next=res.obs,
+            host_steps.append(
+                Batch(
+                    obs=self.obs,
+                    rew=res.reward,
+                    terminated=res.terminated,
+                    truncated=res.truncated,
+                    obs_next=res.obs,
+                )
             )
+            dev_acts.append(raw_act)
             if not extras.is_empty():
-                tr["policy"] = jax.tree.map(np.asarray, extras)
-            steps.append(tr)
+                dev_extras.append(extras)
             if done.any():
                 returns.extend(self._episode_metric(self.ep_ret[done]).tolist())
                 lens.extend(self.ep_len[done].tolist())
                 self.ep_ret[done] = 0
                 self.ep_len[done] = 0
             self.obs = carry
-        traj = Batch.stack(steps)  # [T, N, ...] numpy
+        traj = Batch.stack(host_steps)  # [T, N, ...] numpy
+        traj["act"] = jnp.stack(dev_acts)  # device stack, no fetch
+        if dev_extras:
+            traj["policy"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *dev_extras
+            )
         if self.buffer is not None and bstate is not None:
             bstate = self.buffer.add_trajectory(bstate, traj.to_jax())
         stats = CollectStats(
@@ -160,12 +208,13 @@ class HostCollector:
         quota[: n_episode % n] += 1
         self.reset(seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
         act_fn = self._act_fn(explore)
+        ts, key, act_dev = self._acting_state(ts, key)
         counts = np.zeros(n, np.int64)
         returns, lens = [], []
         for _ in range(max_steps):
             key, k_act = jax.random.split(key)
             _, env_act, _ = act_fn(
-                ts, self._device_obs(self.obs), k_act, explore_param
+                ts, self._device_obs(self.obs, act_dev), k_act, explore_param
             )
             res, carry = self.venv.step(np.asarray(env_act))
             done = res.terminated | res.truncated

@@ -1,0 +1,192 @@
+"""Multi-host distribution: ``jax.distributed`` wiring + per-process env
+sharding.
+
+TPU-native replacement for the reference's cluster story (SURVEY.md §2.4):
+where the reference ships env stepping to Ray actors
+(``tianshou/env/worker/ray.py:1-79``) and fans experiments out with joblib
+(``evaluation/launcher.py:104-133``), here every host in the pod joins ONE
+``jax.distributed`` runtime; the learner is data-parallel over the global
+device mesh (gradient ``psum`` rides ICI, inserted by XLA from batch-sharded
+programs) and each host steps only its own shard of environments, feeding
+its local devices (DCN carries nothing but program launch + the collective
+edges that cross host boundaries).
+
+Single-controller-per-host SPMD: every process runs the same Python; arrays
+whose leading (env/batch) axis is sharded over the ``dp`` mesh axis are
+assembled from process-local shards via
+``jax.make_array_from_process_local_data`` so no host ever materializes
+global data.
+
+Verified by ``tests/test_distributed.py``: a 2-process x 4-virtual-device
+CPU run (Gloo collectives) trains the full fused superstep over the global
+mesh and checks cross-process parameter equality — the CI analog of a
+2-host TPU pod slice, mirroring how the reference tests distribution
+in-process (SURVEY.md §4.7).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "init_distributed",
+    "is_distributed",
+    "global_mesh",
+    "process_env_slice",
+    "host_sharded_array",
+    "host_shard_pytree",
+    "make_distributed_update",
+]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids: list[int] | None = None,
+) -> bool:
+    """Join the multi-host runtime; returns True when running distributed.
+
+    Arguments default from the standard environment variables
+    (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``)
+    so launch scripts can stay uniform across hosts; on a TPU pod slice all
+    three are auto-detected by ``jax.distributed.initialize`` and may be
+    omitted entirely.  A no-op single-process fallback keeps the same entry
+    path valid on one chip/CPU (num_processes absent or 1).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def global_mesh(axis_name: str = "dp") -> Mesh:
+    """1-D mesh over ALL devices of the distributed runtime (local devices
+    of every process), the learner's data-parallel axis."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def process_env_slice(total_envs: int) -> tuple[int, int]:
+    """(start, count) of this process's contiguous env shard.
+
+    Each host owns ``total_envs / process_count`` environments — the
+    multi-host analog of the reference spreading envs over Ray workers —
+    and only ever steps/stores its own shard.
+    """
+    n_proc = jax.process_count()
+    assert total_envs % n_proc == 0, (
+        f"total_envs={total_envs} must divide evenly over "
+        f"{n_proc} processes"
+    )
+    per = total_envs // n_proc
+    return jax.process_index() * per, per
+
+
+def host_sharded_array(
+    local: np.ndarray | jax.Array,
+    mesh: Mesh,
+    axis_name: str = "dp",
+) -> jax.Array:
+    """Assemble a global array whose leading axis is sharded over the mesh
+    from this process's local shard (shape ``[local_n, ...]``); the global
+    leading dim is ``local_n * process_count``.  This is the host->device
+    feed of the env-sharded design: no host holds global data.
+    """
+    local = np.asarray(local)
+    global_shape = (
+        local.shape[0] * jax.process_count(),
+    ) + local.shape[1:]
+    sharding = NamedSharding(
+        mesh, P(axis_name, *([None] * (local.ndim - 1)))
+    )
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+def host_shard_pytree(
+    local_tree: Any, mesh: Mesh, axis_name: str = "dp"
+) -> Any:
+    """``host_sharded_array`` over every leaf of a process-local pytree
+    (e.g. a collected trajectory segment of this host's env shard, leaves
+    ``[T, local_envs, ...]`` pre-swapped to ``[local_envs, ...]`` leading)."""
+    return jax.tree.map(
+        lambda x: host_sharded_array(x, mesh, axis_name), local_tree
+    )
+
+
+def make_distributed_update(algo, mesh: Mesh, axis_name: str = "dp"):
+    """Build the multi-host learner step: ``(ts, transitions, key) ->
+    (ts, metrics)`` jitted over the global mesh.
+
+    ``transitions`` is a global 1-step transition batch (keys
+    ``obs, act, rew, terminated, truncated, obs_next``; leading axis
+    dp-sharded, e.g. assembled with :func:`host_shard_pytree` from each
+    host's env-shard rollout).  Parameters are replicated; the batch is
+    sharded, so XLA derives the gradient ``all-reduce`` across hosts —
+    every process ends the step with identical parameters.  Requires an
+    algorithm with the ``presample``/``update_sampled`` split
+    (``supports_presampled``).
+    """
+    import jax.numpy as jnp
+
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.data.buffer import ReplayBuffer
+
+    assert getattr(algo, "supports_presampled", False)
+    # dummy uniform buffer: update_sampled only touches it for PER
+    # write-back, a no-op here
+    dummy_buf = ReplayBuffer(capacity=1, num_envs=1)
+
+    replicated = NamedSharding(mesh, P())
+
+    def step(ts, tr, bstate, key):
+        b = tr["act"].shape[0]
+        done = tr["terminated"] | tr["truncated"]
+        sampled = (
+            jnp.zeros((b,), jnp.int32),  # env_idx (unused: uniform)
+            jnp.zeros((b,), jnp.int32),  # pos
+            jnp.ones((b,), jnp.float32),  # IS weights
+            Batch(obs=tr["obs"], act=tr["act"]),
+            tr["rew"].astype(jnp.float32)[:, None],  # 1-step chains
+            done.astype(jnp.int32)[:, None],
+            Batch(obs_next=tr["obs_next"], terminated=tr["terminated"]),
+        )
+        ts, _, metrics = algo.update_sampled(ts, dummy_buf, bstate, sampled, key)
+        return ts, metrics
+
+    jitted = jax.jit(step, static_argnums=())
+    cache: dict = {}
+
+    def update(ts, transitions, key):
+        # dummy buffer state built once from SHAPES (never index a global
+        # array eagerly — its shards live on other hosts), replicated
+        if "bstate" not in cache:
+            example = jax.tree.map(
+                lambda x: jnp.zeros(x.shape[1:], x.dtype), transitions
+            )
+            cache["bstate"] = jax.device_put(
+                dummy_buf.init(example), replicated
+            )
+        return jitted(ts, transitions, cache["bstate"], key)
+
+    return update

@@ -245,6 +245,11 @@ class OffPolicyTrainer:
         # device futures — only np.asarray/float force completion.
         ts_act = ts
         metrics = None
+        # each device->host fetch costs a full tunnel round trip, so train
+        # metrics are pulled in ONE stacked transfer roughly every ~1k env
+        # steps instead of per segment
+        metrics_interval = max(1, 1024 // max(1, self.steps_per_segment))
+        seg_count = 0
         with RunContext(
             (self.max_epoch - start_epoch) * self.step_per_epoch,
             self.show_progress, self.profile_dir, desc="offpolicy",
@@ -259,12 +264,14 @@ class OffPolicyTrainer:
                         explore=True, explore_param=explore_param,
                         record_traj=True,
                     )
-                    if metrics is not None:
-                        # previous segment's update finished during this
-                        # segment's env stepping; cheap scalar fetch
-                        last_metrics = self.smooth(
-                            {k: float(v) for k, v in metrics.items()}
+                    if metrics is not None and seg_count % metrics_interval == 0:
+                        vals = np.asarray(
+                            jnp.stack(list(metrics.values()))
                         )
+                        last_metrics = self.smooth(
+                            dict(zip(metrics.keys(), vals.tolist()))
+                        )
+                    seg_count += 1
                     ts_prev = ts
                     ts, bstate, metrics = host_step(ts, bstate, traj, k_u)
                     ts_act = ts_prev if self.pipeline_host_updates else ts
