@@ -154,3 +154,69 @@ def test_offline_builder_smoke(tmp_path):
         .run()
     )
     assert result.info.gradient_step >= 100
+
+
+def test_pixel_dqn_builder_zero_networks_and_watch():
+    """Env-dispatched default factories (module.py): a MinAtar pixel env
+    gets a conv Q-net with ZERO user-supplied networks (reference
+    ActorFactoryDefault, highlevel/module/actor.py:27-265), and the
+    post-train watch loop (experiment.py:328-354) reports episode stats."""
+    from tianshou_tpu.highlevel.experiment import (
+        DQNExperimentBuilder,
+        DQNParams,
+        ExperimentConfig,
+    )
+
+    result = (
+        DQNExperimentBuilder(
+            JaxEnvFactory("minatar-breakout"),
+            config=ExperimentConfig(
+                logger="none", checkpoint_best=False,
+                watch=True, watch_num_episodes=2,
+            ),
+            sampling=SamplingConfig(
+                num_epochs=1, step_per_epoch=256, step_per_collect=64,
+                batch_size=32, num_train_envs=4, num_test_envs=2,
+                episode_per_test=2, buffer_size=2000, start_timesteps=128,
+            ),
+        )
+        .with_dqn_params(DQNParams(hidden_sizes=(32,), n_step=1))
+        .build()
+        .run()
+    )
+    # the dispatched network must be convolutional
+    from tianshou_tpu.networks.conv import ConvQNet
+    assert isinstance(result.world.algo.network, ConvQNet)
+    assert result.watch_stats is not None
+    assert result.watch_stats.n_collected_episodes == 2
+    assert result.world.envs.backend == "jax"
+
+
+def test_module_factory_dispatch():
+    """default_* factories dispatch on observation rank and action type."""
+    from tianshou_tpu.envs.classic import CartPole, Pendulum
+    from tianshou_tpu.envs.minatar import make_minatar
+    from tianshou_tpu.highlevel.env import Environments
+    from tianshou_tpu.highlevel.module import (
+        default_actor,
+        default_q_network,
+        default_value_network,
+        is_pixel_space,
+    )
+    from tianshou_tpu.networks.common import DuelingQNet, QNet
+    from tianshou_tpu.networks.continuous import GaussianActor
+    from tianshou_tpu.networks.conv import ConvQNet, ConvValueNet
+
+    def _envs(e):
+        return Environments(None, None, e.observation_space, e.action_space, "jax")
+
+    flat = _envs(CartPole())
+    pix = _envs(make_minatar("breakout"))
+    cont = _envs(Pendulum())
+    assert not is_pixel_space(flat) and is_pixel_space(pix)
+    assert isinstance(default_q_network(flat, (32,)), QNet)
+    assert isinstance(default_q_network(flat, (32,), dueling=True), DuelingQNet)
+    q = default_q_network(pix, (32,))
+    assert isinstance(q, ConvQNet) and q.encoder == "minatar"
+    assert isinstance(default_actor(cont, (32,)), GaussianActor)
+    assert isinstance(default_value_network(pix), ConvValueNet)

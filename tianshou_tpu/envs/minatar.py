@@ -669,7 +669,8 @@ _REGISTRY = {
 
 def make_minatar(name: str, **kwargs) -> JaxEnv:
     """Create a MinAtar-style env by name (``MinAtar/Breakout`` also ok)."""
-    key = name.lower().removeprefix("minatar/").replace("-", "_")
+    key = name.lower().removeprefix("minatar/").removeprefix("minatar-")
+    key = key.replace("-", "_")
     if key not in _REGISTRY:
         raise ValueError(f"unknown MinAtar env {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[key](**kwargs)

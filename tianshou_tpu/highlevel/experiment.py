@@ -68,6 +68,23 @@ class ExperimentConfig:
     train_param_fn: Callable[[int, int], float] | None = None
     test_param: float = 0.0
     stop_fn: Callable[[float], bool] | None = None
+    # post-train watch loop (reference experiment.py:328-354): replay the
+    # trained policy deterministically on the test envs and report returns
+    watch: bool = False
+    watch_num_episodes: int = 10
+
+
+@dataclasses.dataclass
+class World:
+    """Context object bundling everything an experiment run instantiated
+    (reference ``highlevel/world.py:14-34``) — handed to callbacks and
+    returned in the result for post-hoc inspection."""
+
+    envs: Environments
+    algo: Algorithm
+    trainer: Any
+    logger: Any
+    log_dir: str | None
 
 
 @dataclasses.dataclass
@@ -75,6 +92,8 @@ class ExperimentResult:
     info: InfoStats
     train_state: Any
     log_dir: str | None
+    world: World | None = None
+    watch_stats: Any = None
 
 
 class Experiment:
@@ -229,12 +248,46 @@ class Experiment:
                 save_best_fn=save_best_fn,
             )
 
+        world = World(
+            envs=envs, algo=algo, trainer=trainer, logger=logger,
+            log_dir=log_dir,
+        )
         info = trainer.run()
+
+        # post-train watch (reference Experiment._watch_agent,
+        # experiment.py:328-354): deterministic episodes on the test envs
+        watch_stats = None
+        if cfg.watch:
+            import jax
+
+            test_col = (
+                trainer.test_collector
+                if hasattr(trainer, "test_collector")
+                else None
+            )
+            if test_col is not None:
+                watch_stats = test_col.collect_episodes(
+                    trainer.train_state,
+                    jax.random.key(cfg.seed + 999),
+                    cfg.watch_num_episodes,
+                    explore=False,
+                )
+                print(
+                    f"[watch] {cfg.watch_num_episodes} episodes: "
+                    f"reward {watch_stats.returns_mean:.2f} "
+                    f"± {watch_stats.returns_std:.2f}, "
+                    f"length {watch_stats.lens_mean:.1f}"
+                )
+
         logger.finalize()
         if log_dir is not None:
             self.save(log_dir)
         return ExperimentResult(
-            info=info, train_state=trainer.train_state, log_dir=log_dir
+            info=info,
+            train_state=trainer.train_state,
+            log_dir=log_dir,
+            world=world,
+            watch_stats=watch_stats,
         )
 
 
@@ -314,6 +367,7 @@ class DQNParams:
     n_step: int = 3
     target_update_freq: int = 320
     is_double: bool = True
+    dueling: bool = False
     eps_train: float = 0.1
     eps_test: float = 0.0
 
@@ -327,7 +381,7 @@ class DQNExperimentBuilder(ExperimentBuilder):
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.dqn import DQN
-        from tianshou_tpu.networks.common import QNet
+        from tianshou_tpu.highlevel.module import default_q_network
 
         p = getattr(self, "params", DQNParams())
         assert isinstance(envs.action_space, Discrete)
@@ -336,7 +390,8 @@ class DQNExperimentBuilder(ExperimentBuilder):
         )
         self.config.test_param = p.eps_test
         return DQN(
-            network=QNet(p.hidden_sizes, envs.action_space.n),
+            # env-dispatched default net: MLP for flat obs, conv for pixels
+            network=default_q_network(envs, p.hidden_sizes, dueling=p.dueling),
             action_space=envs.action_space,
             lr=p.lr,
             gamma=p.gamma,
@@ -396,14 +451,12 @@ class PPOParams(OnPolicyParams):
 
 
 def _make_actor_critic(envs: Environments, hidden_sizes):
-    from tianshou_tpu.networks.common import QNet
-    from tianshou_tpu.networks.continuous import GaussianActor, ValueNet
+    from tianshou_tpu.highlevel.module import default_actor, default_value_network
 
-    if isinstance(envs.action_space, Discrete):
-        actor = QNet(hidden_sizes, envs.action_space.n)
-    else:
-        actor = GaussianActor(hidden_sizes, envs.action_space.shape[0])
-    return actor, ValueNet(hidden_sizes)
+    return (
+        default_actor(envs, hidden_sizes),
+        default_value_network(envs, hidden_sizes),
+    )
 
 
 class PPOExperimentBuilder(ExperimentBuilder):

@@ -31,6 +31,7 @@ __all__ = [
     "NatureCNN",
     "ConvQNet",
     "ConvDuelingQNet",
+    "ConvValueNet",
 ]
 
 
@@ -97,6 +98,19 @@ class ConvQNet(nn.Module):
     def __call__(self, obs: jax.Array) -> jax.Array:
         feat = self._encoder()(obs)
         return nn.Dense(self.num_actions)(feat)
+
+
+class ConvValueNet(nn.Module):
+    """Pixel obs -> scalar state value V(s) (on-policy conv critic)."""
+
+    encoder: str = "minatar"
+    encoder_kwargs: dict | None = None
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        kw = self.encoder_kwargs or {}
+        feat = {"minatar": MinAtarCNN, "nature": NatureCNN}[self.encoder](**kw)(obs)
+        return nn.Dense(1)(feat).squeeze(-1)
 
 
 class ConvDuelingQNet(nn.Module):

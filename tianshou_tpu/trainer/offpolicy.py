@@ -193,7 +193,17 @@ class OffPolicyTrainer:
             bstate = buffer.add_trajectory(bstate, traj)
             return updates_fn(ts, bstate, key)
 
-        return jax.jit(step, donate_argnums=(1,))
+        jitted = jax.jit(step, donate_argnums=(1,))
+        accel = jax.devices()[0]
+
+        def run(ts, bstate, traj, key):
+            # trajectory leaves collected under act_on_host are committed
+            # to the CPU backend; re-commit them to the accelerator or the
+            # whole update program would silently execute on CPU
+            traj = jax.device_put(traj, accel)
+            return jitted(ts, bstate, traj, key)
+
+        return run
 
     def _run_host(self) -> InfoStats:
         """Training loop over host-process (gymnasium) envs: threaded env
@@ -214,7 +224,10 @@ class OffPolicyTrainer:
         bstate_probe, stats, traj = col.collect(
             ts, None, 1, k_w, explore=True, explore_param=1.0, record_traj=True
         )
-        example = jax.tree.map(lambda x: jnp.asarray(x[0, 0]), traj)
+        accel = jax.devices()[0]
+        example = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x)[0, 0], accel), traj
+        )
         bstate = self.buffer.init(example)
 
         env_step = 0

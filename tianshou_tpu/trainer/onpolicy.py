@@ -215,7 +215,11 @@ class OnPolicyTrainer:
                         ts, None, self.segment_len, k_c,
                         explore=True, record_traj=True,
                     )
-                    ts, metrics = learn_fn(ts, traj.to_jax(), k_u)
+                    # re-commit to the accelerator: leaves collected under
+                    # act_on_host are CPU-committed and would otherwise
+                    # drag the learn program onto the CPU backend
+                    traj_dev = jax.device_put(traj.to_jax(), jax.devices()[0])
+                    ts, metrics = learn_fn(ts, traj_dev, k_u)
                     env_step += self.steps_per_segment
                     steps_this_epoch += self.steps_per_segment
                     grad_step += updates_per_segment
