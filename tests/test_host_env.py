@@ -53,6 +53,39 @@ def test_host_norm_obs_env():
     venv2.close()
 
 
+def test_host_collector_act_on_host_keeps_buffer_on_default_device():
+    """Regression: with act_on_host the act/policy leaves come back
+    COMMITTED to the host CPU device; the buffer write must re-commit them
+    to the default device or the storage leaves silently migrate and the
+    jitted trainer update later fails with mixed devices.  Emulated here
+    with two virtual CPU devices (cpu:1 plays the host, cpu:0 the chip)."""
+    algo = DQN(
+        network=QNet((32,), 2),
+        action_space=Discrete(2),
+        gamma=0.9,
+        n_step=1,
+        target_update_freq=10,
+    )
+    buffer = ReplayBuffer(capacity=64, num_envs=2)
+    venv = HostVectorEnv([_make for _ in range(2)])
+    col = HostCollector(algo, venv, buffer, act_on_host=True)
+    col._cpu = jax.devices()[1]  # a *different* device than the default
+    col.act_on_host = True
+    col.reset(seed=0)
+    key = jax.random.key(0)
+    ts = algo.init(key, jax.numpy.asarray(col.obs[0]))
+    _, _, traj = col.collect(ts, None, 1, key, record_traj=True)
+    example = jax.tree.map(lambda x: jax.numpy.asarray(x)[0, 0], traj)
+    bstate = buffer.init(example)
+    bstate, _, _ = col.collect(ts, bstate, 4, key)
+    default = jax.devices()[0]
+    for path, leaf in jax.tree_util.tree_leaves_with_path(bstate):
+        assert leaf.devices() == {default}, (
+            f"{jax.tree_util.keystr(path)} on {leaf.devices()}"
+        )
+    venv.close()
+
+
 def test_host_dqn_cartpole_learns():
     env = _make()
     algo = DQN(

@@ -115,6 +115,28 @@ class Algorithm:
         act, extras = self.act(ts, obs, key, explore, explore_param)
         return act, extras, policy_state
 
+    # -- host acting-parameter sync ------------------------------------
+    def act_params(self, ts: TrainState) -> Any | None:
+        """The minimal sub-pytree of ``ts`` that :meth:`act` reads, or
+        ``None`` when unknown.
+
+        The host collector pulls ONLY this subtree from the accelerator
+        per collect segment, packed into a single flat transfer (the
+        acting side of the reference's shared-memory parameter hand-off,
+        SURVEY.md §2.1): over a tunneled accelerator every transfer costs
+        ~25 ms of latency, so a per-leaf pull of the full train state
+        (params + targets + optimizer moments, dozens of leaves) costs
+        seconds while one packed actor-subtree transfer costs one RTT.
+        ``None`` (the default) makes the collector fall back to syncing
+        the full train state per-leaf — always correct, never fast."""
+        return None
+
+    def with_act_params(self, ts: TrainState, sub: Any) -> TrainState:
+        """Graft a subtree returned by :meth:`act_params` back onto a
+        (host-resident) ``ts``; the non-acting leaves stay stale, which is
+        sound because :meth:`act` never reads them."""
+        raise NotImplementedError
+
     def map_action(self, act: jax.Array) -> jax.Array:
         """Map the policy's internal action to the env's action space.
 

@@ -91,6 +91,12 @@ class DDPG(Algorithm):
         )
 
     # ------------------------------------------------------------------
+    def act_params(self, ts):
+        return ts.actor_params
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(actor_params=sub)
+
     def act(self, ts: ACTrainState, obs, key, explore, explore_param=None):
         a = self.actor.apply(ts.actor_params, obs)
         if explore:

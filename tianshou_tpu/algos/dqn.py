@@ -82,6 +82,12 @@ class DQN(Algorithm):
         return q
 
     # ------------------------------------------------------------------
+    def act_params(self, ts):
+        return ts.params
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(params=sub)
+
     def act(self, ts, obs, key, explore, explore_param=0.0):
         q = self.q_values(ts.params, obs)
         greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)

@@ -92,6 +92,12 @@ class PG(Algorithm):
             step=jnp.zeros((), jnp.int32),
         )
 
+    def act_params(self, ts):
+        return ts.params
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(params=sub)
+
     def act(self, ts: TrainState, obs, key, explore, explore_param=0.0):
         dist = self._dist(ts.params["actor"], obs)
         if not explore and self.deterministic_eval:

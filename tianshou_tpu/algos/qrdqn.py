@@ -293,6 +293,13 @@ class FQF(QRDQN):
         w = (taus[:, 1:] - taus[:, :-1])[:, None, :]
         return (w * vals).sum(axis=-1)
 
+    def act_params(self, ts):
+        # q_values_fqf reads the quantile net AND the fraction proposals
+        return (ts.params, ts.fraction_params)
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(params=sub[0], fraction_params=sub[1])
+
     def act(self, ts, obs, key, explore, explore_param=0.0):
         q = self.q_values_fqf(ts, obs)
         greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)

@@ -93,6 +93,12 @@ class SAC(Algorithm):
         )
 
     # ------------------------------------------------------------------
+    def act_params(self, ts):
+        return ts.actor_params
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(actor_params=sub)
+
     def act(self, ts: ACTrainState, obs, key, explore, explore_param=0.0):
         mu, sigma = self.actor.apply(ts.actor_params, obs)
         if not explore and self.deterministic_eval:
@@ -246,6 +252,12 @@ class DiscreteSAC(Algorithm):
             log_alpha=log_alpha,
             alpha_opt_state=self.alpha_optim.init(log_alpha),
         )
+
+    def act_params(self, ts):
+        return ts.actor_params
+
+    def with_act_params(self, ts, sub):
+        return ts.replace(actor_params=sub)
 
     def act(self, ts, obs, key, explore, explore_param=0.0):
         logits = self.actor.apply(ts.actor_params, obs)

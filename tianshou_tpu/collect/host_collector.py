@@ -61,6 +61,10 @@ class HostCollector:
             self._cpu = None
             act_on_host = False
         self.act_on_host = act_on_host
+        # packed param-sync state (built lazily on the first segment)
+        self._ts_host = None
+        self._pack_fn = None
+        self._unravel = None
 
     def _act_fn(self, explore: bool):
         if explore not in self._act_fns:
@@ -76,13 +80,32 @@ class HostCollector:
 
     def _acting_state(self, ts: TrainState, key: jax.Array):
         """Place (ts, key) for acting: on the CPU backend when
-        ``act_on_host`` (ONE accelerator->host transfer per segment —
-        committed CPU inputs make the jitted act function execute on the
-        CPU backend), unchanged otherwise."""
+        ``act_on_host``, unchanged otherwise.
+
+        The accelerator->host hand-off is latency-bound (~25 ms per
+        transfer over the tunnel), so when the algorithm exposes its
+        minimal acting subtree (:meth:`Algorithm.act_params`) the sync is
+        ONE packed transfer: a jitted device-side ``ravel_pytree`` of the
+        acting params, one flat array across the link, an unravel on the
+        host, grafted onto a host-resident skeleton pulled once.  Without
+        ``act_params`` it falls back to the per-leaf full-state pull."""
         if not self.act_on_host:
             return ts, key, None
-        ts_cpu = jax.device_put(ts, self._cpu)
         key_cpu = jax.device_put(key, self._cpu)
+        if self.algo.act_params(ts) is None:
+            return jax.device_put(ts, self._cpu), key_cpu, self._cpu
+        if self._ts_host is None:
+            from jax.flatten_util import ravel_pytree
+
+            self._ts_host = jax.device_put(ts, self._cpu)
+            _, self._unravel = ravel_pytree(
+                self.algo.act_params(self._ts_host)
+            )
+            self._pack_fn = jax.jit(
+                lambda t: ravel_pytree(self.algo.act_params(t))[0]
+            )
+        flat = jax.device_put(self._pack_fn(ts), self._cpu)
+        ts_cpu = self.algo.with_act_params(self._ts_host, self._unravel(flat))
         return ts_cpu, key_cpu, self._cpu
 
     def reset(self, seed: int = 0) -> None:
@@ -183,7 +206,17 @@ class HostCollector:
                 lambda *xs: jnp.stack(xs), *dev_extras
             )
         if self.buffer is not None and bstate is not None:
-            bstate = self.buffer.add_trajectory(bstate, traj.to_jax())
+            # With act_on_host the act/policy leaves are COMMITTED to the
+            # CPU backend (the act fn ran there).  An eager buffer write
+            # mixing them with the uncommitted device storage would follow
+            # the committed operand and silently migrate those storage
+            # leaves to CPU — then the trainer's jitted update sees mixed
+            # devices and fails.  Re-commit the whole segment to the
+            # default device before the write (one batched transfer).
+            traj_dev = traj.to_jax()
+            if self.act_on_host:
+                traj_dev = jax.device_put(traj_dev, jax.devices()[0])
+            bstate = self.buffer.add_trajectory(bstate, traj_dev)
         stats = CollectStats(
             n_collected_steps=num_steps * self.venv.num_envs,
             n_collected_episodes=len(returns),

@@ -189,7 +189,12 @@ class OffPolicyTrainer:
             self.algo, buffer, self.batch_size, self.updates_per_segment
         )
 
-        def step(ts, bstate, traj, key):
+        from tianshou_tpu.utils.transfer import TreePacker
+
+        packer: dict = {}
+
+        def step(ts, bstate, flat, key):
+            traj = packer["p"].unpack(flat)
             bstate = buffer.add_trajectory(bstate, traj)
             return updates_fn(ts, bstate, key)
 
@@ -197,11 +202,14 @@ class OffPolicyTrainer:
         accel = jax.devices()[0]
 
         def run(ts, bstate, traj, key):
-            # trajectory leaves collected under act_on_host are committed
-            # to the CPU backend; re-commit them to the accelerator or the
-            # whole update program would silently execute on CPU
-            traj = jax.device_put(traj, accel)
-            return jitted(ts, bstate, traj, key)
+            # the segment crosses the host->accelerator link as ONE flat
+            # float32 buffer (one round trip) instead of per-leaf
+            # transfers; unpacking happens inside the jitted program.
+            # This also re-commits act_on_host leaves off the CPU backend.
+            if "p" not in packer:
+                packer["p"] = TreePacker(jax.tree.map(np.asarray, traj))
+            flat = jax.device_put(packer["p"].pack(traj), accel)
+            return jitted(ts, bstate, flat, key)
 
         return run
 
@@ -259,9 +267,20 @@ class OffPolicyTrainer:
         ts_act = ts
         metrics = None
         # each device->host fetch costs a full tunnel round trip, so train
-        # metrics are pulled in ONE stacked transfer roughly every ~1k env
+        # metrics are pulled in ONE stacked transfer roughly every ~4k env
         # steps instead of per segment
-        metrics_interval = max(1, 1024 // max(1, self.steps_per_segment))
+        metrics_interval = max(1, 4096 // max(1, self.steps_per_segment))
+        # collection randomness lives on the host CPU backend: splitting a
+        # device key per segment would cost an accelerator dispatch (and,
+        # inside the collector, a key transfer) per segment
+        cpu = None
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            pass
+        key_c_chain = jax.device_put(
+            jax.random.key(np.uint32(self.seed) ^ np.uint32(0x5EED)), cpu
+        )
         seg_count = 0
         with RunContext(
             (self.max_epoch - start_epoch) * self.step_per_epoch,
@@ -271,7 +290,8 @@ class OffPolicyTrainer:
                 steps_this_epoch = 0
                 while steps_this_epoch < self.step_per_epoch:
                     explore_param = float(self.train_param_fn(epoch, env_step))
-                    key, k_c, k_u = jax.random.split(key, 3)
+                    key, k_u = jax.random.split(key)
+                    key_c_chain, k_c = jax.random.split(key_c_chain)
                     _, stats, traj = col.collect(
                         ts_act, None, self.segment_len, k_c,
                         explore=True, explore_param=explore_param,
