@@ -40,13 +40,11 @@ class BDQ(DQN):
         )[:, None]
         return jnp.where(take, rand, greedy).astype(jnp.int32), Batch()
 
-    def update(self, ts, buffer, bstate, key, batch_size):
-        env_idx, pos, weight = buffer.sample_with_weights(bstate, key, batch_size)
-        batch = buffer.get(bstate, env_idx, pos, keys=("obs", "act"))
-        rew_chain, done_chain, term_pos = buffer.nstep_chain(
-            bstate, env_idx, pos, self.n_step
-        )
-        term = buffer.get(bstate, env_idx, term_pos, keys=("obs_next", "terminated"))
+    def update_sampled(self, ts, buffer, bstate, sampled, key):
+        # branch-aware TD step from the generic presampled n-step tuple;
+        # overrides the scalar-action DQN.update_sampled, which the
+        # presampled trainer path would otherwise silently use
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
 
         q_t = self.network.apply(ts.target_params, term["obs_next"])

@@ -193,37 +193,37 @@ class Batch:
 
     # -- combination -------------------------------------------------------
     @staticmethod
-    def _pad_missing(batches: list[Batch]) -> list[Batch]:
-        """Zero-fill keys that only some batches carry (the reference's
-        cat/stack padding semantics, ``batch.py:764,804``): a missing leaf
-        is replaced by zeros shaped like a present one, with the leading
-        dim taken from the batch that lacks it."""
+    def _pad_missing(
+        batches: list[Batch], lens: list[int] | None = None
+    ) -> list[Batch]:
+        """Zero-fill keys that only some batches carry — recursively, so
+        nested sub-batches with partially overlapping keys align too (the
+        reference's cat/stack padding semantics, ``batch.py:764,804``): a
+        missing leaf is replaced by zeros shaped like a present one, with
+        the leading dim taken from the batch that lacks it."""
+        if lens is None:
+            lens = [len(b) for b in batches]
         all_keys: dict[str, Any] = {}
         for b in batches:
             for k, v in b.items():
                 all_keys.setdefault(k, v)
-        out = []
-        for b in batches:
-            if set(b.keys()) == set(all_keys):
-                out.append(b)
+        out = [Batch(b) for b in batches]
+        for k, proto in all_keys.items():
+            if isinstance(proto, Batch):
+                # align every batch's sub-batch simultaneously (a third
+                # batch may carry sub-keys the proto lacks)
+                subs = [
+                    f._d[k] if isinstance(f._d.get(k), Batch) else Batch()
+                    for f in out
+                ]
+                for f, ps in zip(out, Batch._pad_missing(subs, lens)):
+                    f._d[k] = ps
                 continue
-            n = len(b)
-            filled = Batch(b)
-            for k, proto in all_keys.items():
-                if k in filled:
-                    continue
-                if isinstance(proto, Batch):
-                    zeros = jax.tree.map(
-                        lambda x: np.zeros((n,) + np.shape(x)[1:],
-                                           np.asarray(x).dtype),
-                        proto,
-                    )
-                else:
-                    zeros = np.zeros(
+            for f, n in zip(out, lens):
+                if k not in f:
+                    f._d[k] = np.zeros(
                         (n,) + np.shape(proto)[1:], np.asarray(proto).dtype
                     )
-                filled[k] = zeros
-            out.append(filled)
         return out
 
     @staticmethod

@@ -53,16 +53,22 @@ class MLP(nn.Module):
 
 
 class QNet(nn.Module):
-    """State -> Q-values for each discrete action (reference ``Net``)."""
+    """State -> Q-values for each discrete action (reference ``Net``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls in bf16 on the MXU
+    (float32 params, float32 output — mixed precision, not quantization).
+    """
 
     hidden_sizes: Sequence[int]
     num_actions: int
     activation: Callable = nn.relu
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
         return MLP(
-            self.hidden_sizes, self.num_actions, activation=self.activation
+            self.hidden_sizes, self.num_actions, activation=self.activation,
+            compute_dtype=self.compute_dtype,
         )(obs)
 
 
@@ -72,6 +78,7 @@ class QNetEnsemble(nn.Module):
     hidden_sizes: Sequence[int]
     num_actions: int
     num_critics: int = 2
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
@@ -83,7 +90,10 @@ class QNetEnsemble(nn.Module):
             split_rngs={"params": True},
             axis_size=self.num_critics,
         )
-        return vq(self.hidden_sizes, self.num_actions)(obs)
+        return vq(
+            self.hidden_sizes, self.num_actions,
+            compute_dtype=self.compute_dtype,
+        )(obs)
 
 
 class DuelingQNet(nn.Module):
@@ -92,10 +102,14 @@ class DuelingQNet(nn.Module):
     hidden_sizes: Sequence[int]
     num_actions: int
     activation: Callable = nn.relu
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
-        feat = MLP(self.hidden_sizes, None, activation=self.activation)(obs)
+        feat = MLP(
+            self.hidden_sizes, None, activation=self.activation,
+            compute_dtype=self.compute_dtype,
+        )(obs)
         v = nn.Dense(1)(feat)
         a = nn.Dense(self.num_actions)(feat)
         return v + a - a.mean(axis=-1, keepdims=True)
@@ -139,6 +153,7 @@ class EnsembleMLP(nn.Module):
     ensemble_size: int
     hidden_sizes: Sequence[int]
     output_dim: int
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -150,7 +165,10 @@ class EnsembleMLP(nn.Module):
             split_rngs={"params": True},
             axis_size=self.ensemble_size,
         )
-        return vmlp(self.hidden_sizes, self.output_dim)(x)  # [K, B, out]
+        return vmlp(
+            self.hidden_sizes, self.output_dim,
+            compute_dtype=self.compute_dtype,
+        )(x)  # [K, B, out]
 
 
 class BranchingQNet(nn.Module):

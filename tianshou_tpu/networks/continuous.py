@@ -35,10 +35,14 @@ class DeterministicActor(nn.Module):
     hidden_sizes: Sequence[int]
     action_dim: int
     max_action: float = 1.0
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
-        x = MLP(self.hidden_sizes, self.action_dim)(obs)
+        x = MLP(
+            self.hidden_sizes, self.action_dim,
+            compute_dtype=self.compute_dtype,
+        )(obs)
         return self.max_action * jnp.tanh(x)
 
 
@@ -53,10 +57,13 @@ class GaussianActor(nn.Module):
     hidden_sizes: Sequence[int]
     action_dim: int
     conditioned_sigma: bool = False
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> tuple[jax.Array, jax.Array]:
-        feat = MLP(self.hidden_sizes, None)(obs)
+        feat = MLP(
+            self.hidden_sizes, None, compute_dtype=self.compute_dtype
+        )(obs)
         mu = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01))(
             feat
         )
@@ -77,13 +84,16 @@ class Critic(nn.Module):
     """(obs, act) -> scalar Q (reference ``Critic``)."""
 
     hidden_sizes: Sequence[int]
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array, act: jax.Array) -> jax.Array:
         x = jnp.concatenate(
             [obs.reshape(obs.shape[0], -1), act.reshape(act.shape[0], -1)], axis=-1
         )
-        return MLP(self.hidden_sizes, 1)(x).squeeze(-1)
+        return MLP(
+            self.hidden_sizes, 1, compute_dtype=self.compute_dtype
+        )(x).squeeze(-1)
 
 
 class CriticEnsemble(nn.Module):
@@ -97,6 +107,7 @@ class CriticEnsemble(nn.Module):
 
     hidden_sizes: Sequence[int]
     num_critics: int = 2
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array, act: jax.Array) -> jax.Array:
@@ -108,17 +119,22 @@ class CriticEnsemble(nn.Module):
             split_rngs={"params": True},
             axis_size=self.num_critics,
         )
-        return vcritic(self.hidden_sizes)(obs, act)
+        return vcritic(
+            self.hidden_sizes, compute_dtype=self.compute_dtype
+        )(obs, act)
 
 
 class ValueNet(nn.Module):
     """obs -> scalar V (on-policy critic)."""
 
     hidden_sizes: Sequence[int]
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
-        return MLP(self.hidden_sizes, 1)(obs).squeeze(-1)
+        return MLP(
+            self.hidden_sizes, 1, compute_dtype=self.compute_dtype
+        )(obs).squeeze(-1)
 
 
 class Perturbation(nn.Module):

@@ -44,10 +44,16 @@ def build_update_scan(algo: Algorithm, buffer: ReplayBuffer, batch_size: int,
     removes the per-iteration gather latency that dominated the update
     scan at MLP scale (docs/PERFORMANCE.md round-1 profiling).
     """
+    from tianshou_tpu.algos.base import Algorithm
     from tianshou_tpu.data.prio import PrioritizedReplayBuffer
 
     presampled = (
         getattr(algo, "supports_presampled", False)
+        # a subclass that overrides update() (DRQN's sequence update, CQL's
+        # regularized step, ...) while inheriting a parent's
+        # supports_presampled must NOT be silently bypassed in favor of the
+        # parent's update_sampled — honor the override
+        and type(algo).update is Algorithm.update
         and not isinstance(buffer, PrioritizedReplayBuffer)
     )
 
