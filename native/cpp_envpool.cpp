@@ -102,7 +102,7 @@ struct ThreadPool {
   std::atomic<int> pending_;
 };
 
-enum class EnvKind { kCartPole, kPendulum };
+enum class EnvKind { kCartPole, kPendulum, kMountainCar, kAcrobot };
 
 struct Pool {
   EnvKind kind;
@@ -123,6 +123,12 @@ struct Pool {
         break;
       case EnvKind::kPendulum:
         obs_dim = 3; act_dim = 1; discrete = false; state.resize(n * 2);
+        break;
+      case EnvKind::kMountainCar:
+        obs_dim = 2; act_dim = 0; discrete = true; state.resize(n * 2);
+        break;
+      case EnvKind::kAcrobot:
+        obs_dim = 6; act_dim = 0; discrete = true; state.resize(n * 4);
         break;
     }
     t.assign(n, 0);
@@ -208,12 +214,121 @@ struct Pool {
     }
   }
 
+  // ---- MountainCar-v0 dynamics ----------------------------------------
+  // gym spec: force 0.001, gravity 0.0025, bounds [-1.2, 0.6], max speed
+  // 0.07, goal 0.5, reward -1 per step, 200-step truncation
+  void mountaincar_reset(int i, float* obs) {
+    double* s = &state[i * 2];
+    s[0] = rngs[i].uniform(-0.6, -0.4);
+    s[1] = 0.0;
+    t[i] = 0;
+    obs[0] = (float)s[0]; obs[1] = (float)s[1];
+  }
+  void mountaincar_step(int i, double a, float* obs, float* rew,
+                        uint8_t* term, uint8_t* trunc, float* carry) {
+    constexpr double kForce = 0.001, kGravity = 0.0025;
+    constexpr double kMinPos = -1.2, kMaxPos = 0.6, kMaxSpeed = 0.07;
+    constexpr double kGoalPos = 0.5, kGoalVel = 0.0;
+    double* s = &state[i * 2];
+    double pos = s[0], vel = s[1];
+    int act = (int)(a + 0.5);  // {0, 1, 2}
+    vel += (act - 1) * kForce + std::cos(3.0 * pos) * (-kGravity);
+    vel = std::min(kMaxSpeed, std::max(-kMaxSpeed, vel));
+    pos += vel;
+    pos = std::min(kMaxPos, std::max(kMinPos, pos));
+    if (pos <= kMinPos && vel < 0.0) vel = 0.0;
+    s[0] = pos; s[1] = vel;
+    t[i] += 1;
+    bool terminated = pos >= kGoalPos && vel >= kGoalVel;
+    bool truncated = !terminated && t[i] >= 200;
+    obs[0] = (float)pos; obs[1] = (float)vel;
+    *rew = -1.0f;
+    *term = terminated; *trunc = truncated;
+    if (terminated || truncated) mountaincar_reset(i, carry);
+    else std::memcpy(carry, obs, 2 * sizeof(float));
+  }
+
+  // ---- Acrobot-v1 dynamics ---------------------------------------------
+  // gym spec ("book" variant): unit links/masses, dt 0.2 with one RK4
+  // step, velocity clips 4pi/9pi, terminal -cos(t1) - cos(t1+t2) > 1,
+  // reward -1 per step (0 on the terminal step), 500-step truncation
+  static void acrobot_dsdt(const double* s, double torque, double* ds) {
+    constexpr double kG = 9.8, kL1 = 1.0, kLc1 = 0.5, kLc2 = 0.5,
+                     kM1 = 1.0, kM2 = 1.0, kI1 = 1.0, kI2 = 1.0;
+    double t1 = s[0], t2 = s[1], dt1 = s[2], dt2 = s[3];
+    double d1 = kM1 * kLc1 * kLc1 +
+                kM2 * (kL1 * kL1 + kLc2 * kLc2 +
+                       2.0 * kL1 * kLc2 * std::cos(t2)) + kI1 + kI2;
+    double d2 = kM2 * (kLc2 * kLc2 + kL1 * kLc2 * std::cos(t2)) + kI2;
+    double phi2 = kM2 * kLc2 * kG * std::cos(t1 + t2 - PI / 2.0);
+    double phi1 = -kM2 * kL1 * kLc2 * dt2 * dt2 * std::sin(t2) -
+                  2.0 * kM2 * kL1 * kLc2 * dt2 * dt1 * std::sin(t2) +
+                  (kM1 * kLc1 + kM2 * kL1) * kG * std::cos(t1 - PI / 2.0) +
+                  phi2;
+    double ddt2 = (torque + (d2 / d1) * phi1 -
+                   kM2 * kL1 * kLc2 * dt1 * dt1 * std::sin(t2) - phi2) /
+                  (kM2 * kLc2 * kLc2 + kI2 - d2 * d2 / d1);
+    double ddt1 = -(d2 * ddt2 + phi1) / d1;
+    ds[0] = dt1; ds[1] = dt2; ds[2] = ddt1; ds[3] = ddt2;
+  }
+  static double wrap_pi(double x) {
+    x = std::fmod(x + PI, 2.0 * PI);
+    if (x < 0) x += 2.0 * PI;
+    return x - PI;
+  }
+  void acrobot_obs(int i, float* obs) {
+    double* s = &state[i * 4];
+    obs[0] = (float)std::cos(s[0]); obs[1] = (float)std::sin(s[0]);
+    obs[2] = (float)std::cos(s[1]); obs[3] = (float)std::sin(s[1]);
+    obs[4] = (float)s[2]; obs[5] = (float)s[3];
+  }
+  void acrobot_reset(int i, float* obs) {
+    double* s = &state[i * 4];
+    for (int k = 0; k < 4; ++k) s[k] = rngs[i].uniform(-0.1, 0.1);
+    t[i] = 0;
+    acrobot_obs(i, obs);
+  }
+  void acrobot_step(int i, double a, float* obs, float* rew, uint8_t* term,
+                    uint8_t* trunc, float* carry) {
+    constexpr double kDt = 0.2;
+    const double kMaxVel1 = 4.0 * PI, kMaxVel2 = 9.0 * PI;
+    double* s = &state[i * 4];
+    double torque = (double)((int)(a + 0.5) - 1);  // {0,1,2} -> {-1,0,1}
+    // one RK4 step of size dt (gym rk4 with ts=[0, dt])
+    double k1[4], k2[4], k3[4], k4[4], tmp[4];
+    acrobot_dsdt(s, torque, k1);
+    for (int k = 0; k < 4; ++k) tmp[k] = s[k] + 0.5 * kDt * k1[k];
+    acrobot_dsdt(tmp, torque, k2);
+    for (int k = 0; k < 4; ++k) tmp[k] = s[k] + 0.5 * kDt * k2[k];
+    acrobot_dsdt(tmp, torque, k3);
+    for (int k = 0; k < 4; ++k) tmp[k] = s[k] + kDt * k3[k];
+    acrobot_dsdt(tmp, torque, k4);
+    for (int k = 0; k < 4; ++k)
+      s[k] += kDt / 6.0 * (k1[k] + 2.0 * k2[k] + 2.0 * k3[k] + k4[k]);
+    s[0] = wrap_pi(s[0]);
+    s[1] = wrap_pi(s[1]);
+    s[2] = std::min(kMaxVel1, std::max(-kMaxVel1, s[2]));
+    s[3] = std::min(kMaxVel2, std::max(-kMaxVel2, s[3]));
+    t[i] += 1;
+    bool terminated = -std::cos(s[0]) - std::cos(s[1] + s[0]) > 1.0;
+    bool truncated = !terminated && t[i] >= 500;
+    acrobot_obs(i, obs);
+    *rew = terminated ? 0.0f : -1.0f;
+    *term = terminated; *trunc = truncated;
+    if (terminated || truncated) acrobot_reset(i, carry);
+    else std::memcpy(carry, obs, 6 * sizeof(float));
+  }
+
   void reset_all(float* obs_out) {
     threads.run_chunks(num_envs, [&](int lo, int hi) {
       for (int i = lo; i < hi; ++i) {
         float* obs = obs_out + (size_t)i * obs_dim;
-        if (kind == EnvKind::kCartPole) cartpole_reset(i, obs);
-        else pendulum_reset(i, obs);
+        switch (kind) {
+          case EnvKind::kCartPole: cartpole_reset(i, obs); break;
+          case EnvKind::kPendulum: pendulum_reset(i, obs); break;
+          case EnvKind::kMountainCar: mountaincar_reset(i, obs); break;
+          case EnvKind::kAcrobot: acrobot_reset(i, obs); break;
+        }
       }
     });
   }
@@ -224,12 +339,23 @@ struct Pool {
       for (int i = lo; i < hi; ++i) {
         float* obs = obs_out + (size_t)i * obs_dim;
         float* carry = carry_out + (size_t)i * obs_dim;
-        if (kind == EnvKind::kCartPole) {
-          cartpole_step(i, actions[i], obs, rew_out + i, term_out + i,
-                        trunc_out + i, carry);
-        } else {
-          pendulum_step(i, actions[i], obs, rew_out + i, term_out + i,
-                        trunc_out + i, carry);
+        switch (kind) {
+          case EnvKind::kCartPole:
+            cartpole_step(i, actions[i], obs, rew_out + i, term_out + i,
+                          trunc_out + i, carry);
+            break;
+          case EnvKind::kPendulum:
+            pendulum_step(i, actions[i], obs, rew_out + i, term_out + i,
+                          trunc_out + i, carry);
+            break;
+          case EnvKind::kMountainCar:
+            mountaincar_step(i, actions[i], obs, rew_out + i, term_out + i,
+                             trunc_out + i, carry);
+            break;
+          case EnvKind::kAcrobot:
+            acrobot_step(i, actions[i], obs, rew_out + i, term_out + i,
+                         trunc_out + i, carry);
+            break;
         }
       }
     });
@@ -245,6 +371,8 @@ void* envpool_create(const char* name, int num_envs, uint64_t seed,
   EnvKind kind;
   if (std::strcmp(name, "CartPole-v1") == 0) kind = EnvKind::kCartPole;
   else if (std::strcmp(name, "Pendulum-v1") == 0) kind = EnvKind::kPendulum;
+  else if (std::strcmp(name, "MountainCar-v0") == 0) kind = EnvKind::kMountainCar;
+  else if (std::strcmp(name, "Acrobot-v1") == 0) kind = EnvKind::kAcrobot;
   else return nullptr;
   if (num_threads <= 0)
     num_threads = std::max(1u, std::thread::hardware_concurrency() / 2);

@@ -73,6 +73,74 @@ def test_pendulum_dynamics_match_jax_env():
     cpp.close()
 
 
+def test_acrobot_dynamics_match_jax_env():
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.envs.classic import Acrobot, AcrobotState
+
+    cpp = CppVectorEnv("Acrobot-v1", 4, seed=5)
+    obs0 = cpp.reset()
+    states = AcrobotState(
+        theta1=jnp.asarray(np.arctan2(obs0[:, 1], obs0[:, 0])),
+        theta2=jnp.asarray(np.arctan2(obs0[:, 3], obs0[:, 2])),
+        dtheta1=jnp.asarray(obs0[:, 4]),
+        dtheta2=jnp.asarray(obs0[:, 5]),
+        t=jnp.zeros(4, jnp.int32),
+    )
+    jenv = Acrobot()
+    acts = np.array([0, 1, 2, 2], np.float32)
+    for _ in range(5):  # several RK4 steps compound any physics mismatch
+        res_cpp, _ = cpp.step(acts)
+        states, res_jax = jax.vmap(jenv.step)(
+            states, jnp.asarray(acts.astype(np.int32))
+        )
+    np.testing.assert_allclose(
+        res_cpp.obs, np.asarray(res_jax.obs), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        res_cpp.reward, np.asarray(res_jax.reward), rtol=1e-5, atol=1e-6
+    )
+    cpp.close()
+
+
+def test_mountaincar_dynamics_match_gym():
+    gym = pytest.importorskip("gymnasium")
+    cpp = CppVectorEnv("MountainCar-v0", 3, seed=13)
+    obs0 = cpp.reset()
+    genv = gym.make("MountainCar-v0")
+    genv.reset(seed=0)
+    acts = np.array([0, 1, 2], np.float32)
+    res_cpp, _ = cpp.step(acts)
+    for i in range(3):
+        genv.unwrapped.state = np.array(obs0[i], np.float64)
+        gobs, grew, gterm, gtrunc, _ = genv.step(int(acts[i]))
+        np.testing.assert_allclose(res_cpp.obs[i], gobs, rtol=1e-5, atol=1e-6)
+        assert res_cpp.reward[i] == grew
+    genv.close()
+    cpp.close()
+
+
+def test_mountaincar_reaches_goal_and_autoresets():
+    """Drive right with momentum pumping; the goal must be reachable and
+    auto-reset must start a fresh episode."""
+    cpp = CppVectorEnv("MountainCar-v0", 1, seed=1)
+    obs = cpp.reset()
+    terminated = False
+    for _ in range(200):
+        # bang-bang: push in the direction of motion
+        a = 2.0 if obs[0, 1] >= 0 else 0.0
+        res, carry = cpp.step(np.array([a], np.float32))
+        if res.terminated[0]:
+            terminated = True
+            assert res.obs[0, 0] >= 0.5  # terminal obs at the goal
+            assert -0.6 <= carry[0, 0] <= -0.4  # reset obs in start band
+            break
+        obs = carry
+    assert terminated, "momentum pumping must reach the goal within 200 steps"
+    cpp.close()
+
+
 def test_dqn_learns_through_cpp_pool():
     import jax
 

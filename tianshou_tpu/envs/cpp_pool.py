@@ -36,6 +36,18 @@ _SPACES = {
         Box(low=(-1.0, -1.0, -8.0), high=(1.0, 1.0, 8.0), shape=(3,)),
         Box(low=-2.0, high=2.0, shape=(1,)),
     ),
+    "MountainCar-v0": (
+        Box(low=(-1.2, -0.07), high=(0.6, 0.07), shape=(2,)),
+        Discrete(3),
+    ),
+    "Acrobot-v1": (
+        Box(
+            low=(-1.0, -1.0, -1.0, -1.0, -4 * np.pi, -9 * np.pi),
+            high=(1.0, 1.0, 1.0, 1.0, 4 * np.pi, 9 * np.pi),
+            shape=(6,),
+        ),
+        Discrete(3),
+    ),
 }
 
 
