@@ -286,3 +286,36 @@ def test_save_only_last_obs_plus_ignore_obs_next_memory_shape():
     np.testing.assert_array_equal(
         np.asarray(got["obs_next"])[0, :, 0, 0], [1, 2, 3, 4]
     )
+
+
+# ---------------------------------------------------------------------------
+# generic nested-object HDF5 persistence (converter.py:80-130 analog)
+# ---------------------------------------------------------------------------
+def test_generic_pytree_hdf5_with_pickle_fallback(tmp_path):
+    from tianshou_tpu.data.persistence import load_pytree_hdf5, save_pytree_hdf5
+
+    class Custom:
+        def __init__(self, v):
+            self.v = v
+
+        def __eq__(self, other):
+            return isinstance(other, Custom) and other.v == self.v
+
+    tree = {
+        "arrays": Batch(x=np.arange(6).reshape(2, 3), y=np.ones(2)),
+        "meta": {
+            "name": "run-7",            # unicode -> pickle fallback
+            "obj": Custom([1, 2, 3]),   # arbitrary object
+            "ragged": [[1, 2], [3]],    # ragged -> pickle fallback
+            "scalar": np.float32(2.5),
+        },
+    }
+    p = os.path.join(tmp_path, "tree.h5")
+    save_pytree_hdf5(p, tree)
+    back = load_pytree_hdf5(p)
+    assert isinstance(back["arrays"], Batch)
+    np.testing.assert_array_equal(back["arrays"].x, tree["arrays"].x)
+    assert back["meta"]["name"] == "run-7"
+    assert back["meta"]["obj"] == Custom([1, 2, 3])
+    assert back["meta"]["ragged"] == [[1, 2], [3]]
+    assert back["meta"]["scalar"] == np.float32(2.5)

@@ -21,7 +21,7 @@ from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.buffer import ReplayBufferState
 from tianshou_tpu.data.prio import PrioritizedReplayBufferState
 
-__all__ = ["save_buffer_hdf5", "load_buffer_hdf5"]
+__all__ = ["save_buffer_hdf5", "load_buffer_hdf5", "save_pytree_hdf5", "load_pytree_hdf5"]
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -34,6 +34,61 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
         )
         out[prefix + name] = np.asarray(leaf)
     return out
+
+
+def save_pytree_hdf5(path: str, tree: Any) -> None:
+    """Generic nested-structure HDF5 save with pickle fallback.
+
+    The analog of the reference's ``to_hdf5`` converter
+    (``tianshou/data/utils/converter.py:80-130``): array leaves become
+    datasets under ``/``-joined pytree paths; anything numpy cannot
+    represent as a non-object array (lambdas, custom objects, ragged
+    lists) is cloudpickled into a uint8 dataset tagged with a
+    ``pickled`` attribute, so arbitrary ``info``-style payloads
+    round-trip."""
+    import cloudpickle
+
+    with h5py.File(path, "w") as f:
+        f.attrs["generic_pytree"] = True
+
+        def emit(prefix: str, obj: Any) -> None:
+            if isinstance(obj, Batch):
+                obj = {k: v for k, v in obj.items()}
+                f.require_group(prefix or "/").attrs["batch"] = True
+            if isinstance(obj, dict):
+                grp = f.require_group(prefix or "/")
+                grp.attrs.setdefault("batch", False)
+                for k, v in obj.items():
+                    emit(f"{prefix}/{k}" if prefix else str(k), v)
+                return
+            try:
+                arr = np.asarray(obj)
+                if arr.dtype == object:
+                    raise TypeError
+                f.create_dataset(prefix, data=arr)
+            except (TypeError, ValueError):
+                payload = np.frombuffer(cloudpickle.dumps(obj), np.uint8)
+                ds = f.create_dataset(prefix, data=payload)
+                ds.attrs["pickled"] = True
+
+        emit("", tree)
+
+
+def load_pytree_hdf5(path: str) -> Any:
+    """Inverse of :func:`save_pytree_hdf5`."""
+    import pickle
+
+    with h5py.File(path, "r") as f:
+
+        def read(obj):
+            if isinstance(obj, h5py.Dataset):
+                if obj.attrs.get("pickled", False):
+                    return pickle.loads(obj[...].tobytes())
+                return np.asarray(obj[...])
+            out = {k: read(obj[k]) for k in obj.keys()}
+            return Batch(out) if obj.attrs.get("batch", False) else out
+
+        return read(f["/"])
 
 
 def save_buffer_hdf5(path: str, state: ReplayBufferState) -> None:

@@ -12,6 +12,7 @@ for resume (``restore_data`` ``tensorboard.py:120+``).
 from __future__ import annotations
 
 import contextlib
+import os
 from enum import Enum
 from numbers import Number
 from typing import Any, Callable
@@ -179,28 +180,106 @@ class TensorboardLogger(BaseLogger):
 
 
 class WandbLogger(BaseLogger):
-    """Weights & Biases logger; degrades to no-op if wandb is unavailable
-    (this image has no egress), mirroring the reference's optional dep."""
+    """Weights & Biases logger (reference ``utils/logger/wandb.py:15-177``).
+
+    - ``resume_id`` resumes an existing W&B run (``wandb.init(resume=...)``).
+    - ``save_data`` stores the trainer counters in the run summary AND, when
+      ``save_checkpoint_fn`` returns a filesystem path, uploads it as a
+      versioned ``run_<id>_checkpoint`` Artifact (the reference's
+      checkpoint-artifact flow).
+    - ``restore_data`` reads the counters back from the resumed run's
+      summary and, if a checkpoint artifact exists, downloads it next to
+      ``log_dir`` so the trainer's resume hooks find it.
+    - Missing ``wandb`` raises ImportError by default; ``optional=True``
+      degrades to a no-op with ONE stderr warning (never silently).
+    """
 
     def __init__(
         self,
         project: str = "tianshou_tpu",
         name: str | None = None,
         config: dict | None = None,
+        *,
+        entity: str | None = None,
+        resume_id: str | None = None,
+        log_dir: str | None = None,
+        optional: bool = False,
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.wandb_run = None
-        with contextlib.suppress(Exception):
+        self.log_dir = log_dir
+        try:
             import wandb
+        except ImportError:
+            if not optional:
+                raise ImportError(
+                    "WandbLogger requires the wandb package; pass "
+                    "optional=True to degrade to a no-op without it"
+                ) from None
+            import sys
 
-            self.wandb_run = wandb.init(
-                project=project, name=name, config=config, reinit=True
+            print(
+                "WandbLogger: wandb not installed — logging disabled",
+                file=sys.stderr,
             )
+            return
+        self._wandb = wandb
+        self.wandb_run = wandb.init(
+            project=project,
+            name=name,
+            config=config,
+            entity=entity,
+            id=resume_id,
+            resume="allow" if resume_id else None,
+            dir=log_dir,
+            reinit=True,
+        )
+
+    @property
+    def run_id(self) -> str | None:
+        return self.wandb_run.id if self.wandb_run is not None else None
 
     def write(self, step: int, data: dict[str, float]) -> None:
         if self.wandb_run is not None:
             self.wandb_run.log(data, step=step)
+
+    def save_data(
+        self, epoch, env_step, gradient_step, save_checkpoint_fn=None
+    ) -> None:
+        ckpt_path = None
+        if save_checkpoint_fn is not None:
+            ckpt_path = save_checkpoint_fn(epoch, env_step, gradient_step)
+        if self.wandb_run is None:
+            return
+        self.wandb_run.summary["save/epoch"] = int(epoch)
+        self.wandb_run.summary["save/env_step"] = int(env_step)
+        self.wandb_run.summary["save/gradient_step"] = int(gradient_step)
+        if isinstance(ckpt_path, (str, bytes)) and os.path.exists(ckpt_path):
+            art = self._wandb.Artifact(
+                f"run_{self.wandb_run.id}_checkpoint", type="model"
+            )
+            if os.path.isdir(ckpt_path):
+                art.add_dir(ckpt_path)
+            else:
+                art.add_file(ckpt_path)
+            self.wandb_run.log_artifact(art)
+
+    def restore_data(self) -> tuple[int, int, int]:
+        if self.wandb_run is None:
+            return 0, 0, 0
+        summary = self.wandb_run.summary
+        epoch = int(summary.get("save/epoch", 0))
+        env_step = int(summary.get("save/env_step", 0))
+        grad_step = int(summary.get("save/gradient_step", 0))
+        with contextlib.suppress(Exception):
+            art = self.wandb_run.use_artifact(
+                f"run_{self.wandb_run.id}_checkpoint:latest"
+            )
+            art.download(self.log_dir or ".")
+        self.last_log[DataScope.TRAIN] = env_step - 1
+        self.last_log[DataScope.UPDATE] = grad_step - 1
+        return epoch, env_step, grad_step
 
     def finalize(self) -> None:
         if self.wandb_run is not None:
