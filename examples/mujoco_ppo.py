@@ -1,8 +1,10 @@
 """PPO on MuJoCo via the host-env bridge with obs normalization (analog of
 ``examples/mujoco/mujoco_ppo.py``; BASELINE.md on-policy rows).
 
-Reference hyperparameters: hidden 64x64, lr 3e-4, gamma 0.99, GAE 0.95,
-2048 steps/collect, repeat 10, batch 64-256, obs normalization, adv norm.
+Reference hyperparameters (``examples/mujoco/mujoco_ppo.py`` defaults):
+hidden 64x64, lr 3e-4 with linear decay, gamma 0.99, GAE 0.95, 8 envs,
+2048 steps/collect, repeat 10, batch 64, obs+ret normalization, NO adv
+norm, recompute-adv, sigma_param init -0.5.
 """
 
 import argparse
@@ -17,13 +19,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="HalfCheetah-v4")
     p.add_argument("--platform", default=None)
-    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--num-envs", type=int, default=8)
     p.add_argument("--test-envs", type=int, default=4)
     p.add_argument("--max-epoch", type=int, default=100)
     p.add_argument("--step-per-epoch", type=int, default=10000)
     p.add_argument("--step-per-collect", type=int, default=2048)
     p.add_argument("--repeat", type=int, default=10)
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--no-lr-decay", action="store_true")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -47,18 +50,34 @@ def main():
     act_space = space_from_gym(probe.action_space)
     probe.close()
 
+    import optax
+
+    # reference lr-decay: linear to zero over every optimizer step
+    # (LambdaLR over updates, mujoco_ppo.py:118-126)
+    total_minibatches = (
+        args.max_epoch
+        * -(-args.step_per_epoch // args.step_per_collect)
+        * args.repeat
+        * -(-args.step_per_collect // args.batch_size)
+    )
+    tx = None
+    if not args.no_lr_decay:
+        tx = optax.adam(
+            optax.linear_schedule(args.lr, 0.0, total_minibatches)
+        )
     algo = PPO(
-        GaussianActor((64, 64), act_space.shape[0]),
+        GaussianActor((64, 64), act_space.shape[0], sigma_init=-0.5),
         ValueNet((64, 64)),
         act_space,
         lr=args.lr,
+        optimizer=tx,
         gamma=0.99,
         gae_lambda=0.95,
         eps_clip=0.2,
         vf_coef=0.25,
         ent_coef=0.0,
         max_grad_norm=0.5,
-        adv_norm=True,
+        adv_norm=False,
         ret_norm=True,
         recompute_advantage=True,
     )

@@ -185,7 +185,10 @@ def test_trpo_pendulum():
         gamma=0.95,
         gae_lambda=0.95,
         optim_critic_iters=5,
-        max_kl=0.01,
+        # reference test config (test/continuous/test_trpo.py:50): under
+        # the reference-exact running return normalization the smaller
+        # trust region is what converges reliably
+        max_kl=0.005,
         backtrack_coeff=0.8,
     )
-    _run_onpolicy(algo, env, -250, repeat=2, max_epoch=10, batch_size=2048)
+    _run_onpolicy(algo, env, -250, repeat=2, max_epoch=25, batch_size=2048)

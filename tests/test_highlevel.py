@@ -220,3 +220,30 @@ def test_module_factory_dispatch():
     assert isinstance(q, ConvQNet) and q.encoder == "minatar"
     assert isinstance(default_actor(cont, (32,)), GaussianActor)
     assert isinstance(default_value_network(pix), ConvValueNet)
+
+
+def test_cli_tier_runs_and_overrides_fields():
+    """Declarative CLI over the builders (the reference's jsonargparse
+    tier, examples/*_hl.py): dataclass fields become --section.field
+    flags; a tiny DQN run goes end to end."""
+    from tianshou_tpu.highlevel.cli import (
+        build_parser,
+        dataclass_from_args,
+        experiment_cli,
+    )
+    from tianshou_tpu.highlevel.config import SamplingConfig
+
+    ns = build_parser("dqn").parse_args(
+        ["--task", "CartPole-v1", "--sampling.num_epochs", "2",
+         "--sampling.step_per_epoch", "1024", "--sampling.num_train_envs",
+         "8", "--params.lr", "5e-4", "--experiment.seed", "7"]
+    )
+    sc = dataclass_from_args(SamplingConfig, ns, "sampling")
+    assert sc.num_epochs == 2 and sc.num_train_envs == 8
+    result = experiment_cli(
+        ["--algo", "dqn", "--task", "CartPole-v1",
+         "--sampling.num_epochs", "1", "--sampling.step_per_epoch", "1024",
+         "--sampling.num_train_envs", "8", "--sampling.buffer_size", "2048",
+         "--experiment.seed", "7"]
+    )
+    assert result.info.env_step >= 1024

@@ -68,44 +68,94 @@ class A2C(PG):
             "actor": self.actor.init(k_a, obs),
             "critic": self.critic.init(k_c, obs),
         }
+        ret_stats = (
+            dict(
+                ret_mean=jnp.zeros(()),
+                ret_var=jnp.ones(()),
+                ret_count=jnp.asarray(1e-4, jnp.float32),
+            )
+            if self.ret_norm
+            else {}
+        )
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
+            **ret_stats,
         )
 
     def values(self, params: Any, obs: jax.Array) -> jax.Array:
         return self.critic.apply(params, obs)
 
     # ------------------------------------------------------------------
-    def process_rollout(self, ts: TrainState, traj: Batch) -> Batch:
+    def _ret_scale(self, ts: TrainState) -> jax.Array:
+        return jnp.sqrt(ts.ret_var + 1e-8)
+
+    def _gae(self, ts: TrainState, traj: Batch):
+        """Critic values + GAE with reference-exact scale handling
+        (``a2c.py:111-139``): with return normalization the critic PREDICTS
+        normalized values, so v/v_next are unnormalized (x running return
+        std) before entering GAE against raw rewards; advantages come out
+        in RAW reward scale (the reference does NOT rescale ``batch.adv``).
+        Returns ``(v_pred, adv, unnormalized_returns)`` — ``v_pred`` is the
+        critic's raw (normalized-scale) output for value clipping."""
         T, N = traj["rew"].shape
         flat = lambda x: x.reshape((T * N,) + x.shape[2:])
         unflat = lambda x: x.reshape((T, N))
-        v = unflat(self.values(ts.params["critic"], flat(traj["obs"])))
-        v_next = unflat(self.values(ts.params["critic"], flat(traj["obs_next"])))
+        v_pred = unflat(self.values(ts.params["critic"], flat(traj["obs"])))
+        v_next = unflat(
+            self.values(ts.params["critic"], flat(traj["obs_next"]))
+        )
+        v, vn = v_pred, v_next
+        if self.ret_norm:
+            scale = self._ret_scale(ts)
+            v = v * scale
+            vn = vn * scale
         done = traj["terminated"] | traj["truncated"]
-        adv, ret = gae_advantages(
-            traj["rew"], v, v_next, traj["terminated"], done,
+        adv, ret_unnorm = gae_advantages(
+            traj["rew"], v, vn, traj["terminated"], done,
             self.gamma, self.gae_lambda,
         )
+        return v_pred, adv, ret_unnorm
+
+    def process_rollout(self, ts: TrainState, traj: Batch) -> Batch:
+        v_pred, adv, ret = self._gae(ts, traj)
         if self.ret_norm:
-            # scale-only normalization of value targets: divide by the
-            # return std WITHOUT subtracting the mean (the reference's
-            # deliberate rew_norm detail, ``a2c.py:132-139``); per-rollout
-            # std stands in for the reference's running statistics
-            scale = ret.std() + 1e-8
-            ret = ret / scale
-            adv = adv / scale
+            # scale-only normalization of the VALUE TARGETS: divide by the
+            # running return std WITHOUT subtracting the mean
+            # (``a2c.py:132-139``); advantages stay in raw reward scale
+            ret = ret / self._ret_scale(ts)
         out = Batch(
             obs=traj["obs"],
             act=traj["act"],
             adv=adv,
             ret=ret,
-            v_s=v,
+            v_s=v_pred,
             logp_old=traj["policy"]["log_prob"],
         )
         return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), out)
+
+    def update_rollout_stats(self, ts: TrainState, traj: Batch) -> TrainState:
+        """Fold this rollout's UNNORMALIZED returns into the running return
+        statistics (Chan parallel update — the reference's
+        ``self.ret_rms.update(unnormalized_returns)``)."""
+        if not self.ret_norm:
+            return ts
+        _, _, ret = self._gae(ts, traj)
+        b_mean = ret.mean()
+        b_var = ret.var()
+        b_count = jnp.asarray(float(ret.size), jnp.float32)
+        delta = b_mean - ts.ret_mean
+        tot = ts.ret_count + b_count
+        new_mean = ts.ret_mean + delta * b_count / tot
+        m2 = (
+            ts.ret_var * ts.ret_count
+            + b_var * b_count
+            + delta**2 * ts.ret_count * b_count / tot
+        )
+        return ts.replace(
+            ret_mean=new_mean, ret_var=m2 / tot, ret_count=tot
+        )
 
     # ------------------------------------------------------------------
     def _policy_loss(self, logp, ent, mb, adv):

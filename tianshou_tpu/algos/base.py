@@ -35,12 +35,21 @@ __all__ = ["TrainState", "Algorithm", "polyak_update", "RandomPolicy"]
 
 @struct.dataclass
 class TrainState:
-    """Generic learnable state; algorithms may subclass with extra fields."""
+    """Generic learnable state; algorithms may subclass with extra fields.
+
+    ``ret_mean/ret_var/ret_count`` carry the running statistics of
+    UNNORMALIZED returns for on-policy return normalization (the
+    reference's ``ret_rms``, ``policy/modelfree/a2c.py:132-139``); None
+    for algorithms that do not use it.
+    """
 
     params: Any
     opt_state: Any
     step: jax.Array
     target_params: Any = None
+    ret_mean: jax.Array | None = None
+    ret_var: jax.Array | None = None
+    ret_count: jax.Array | None = None
 
 
 def polyak_update(target: Any, online: Any, tau: float) -> Any:
@@ -246,6 +255,13 @@ class Algorithm:
         """Enrich a time-major ``[T, N, ...]`` rollout (advantages, returns,
         old log-probs) before minibatch learning."""
         raise NotImplementedError
+
+    def update_rollout_stats(self, ts: TrainState, traj: Batch) -> TrainState:
+        """Once-per-rollout train-state update (e.g. running return
+        statistics for return normalization); the on-policy trainers call
+        this right after :meth:`process_rollout` on the fresh rollout.
+        Default: identity."""
+        return ts
 
     def learn(
         self, ts: TrainState, minibatch: Batch, key: jax.Array

@@ -61,6 +61,9 @@ class GAIL(PPO):
             params=base.params,
             opt_state=base.opt_state,
             step=base.step,
+            ret_mean=base.ret_mean,
+            ret_var=base.ret_var,
+            ret_count=base.ret_count,
             disc_params=disc_params,
             disc_opt_state=self.disc_optim.init(disc_params),
         )

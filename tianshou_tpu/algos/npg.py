@@ -72,10 +72,20 @@ class NPG(A2C):
             "actor": self.actor.init(k_a, obs),
             "critic": self.critic.init(k_c, obs),
         }
+        ret_stats = (
+            dict(
+                ret_mean=jnp.zeros(()),
+                ret_var=jnp.ones(()),
+                ret_count=jnp.asarray(1e-4, jnp.float32),
+            )
+            if self.ret_norm
+            else {}
+        )
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params["critic"]),
             step=jnp.zeros((), jnp.int32),
+            **ret_stats,
         )
 
     # ------------------------------------------------------------------

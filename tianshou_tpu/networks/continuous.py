@@ -58,6 +58,9 @@ class GaussianActor(nn.Module):
     action_dim: int
     conditioned_sigma: bool = False
     compute_dtype: jnp.dtype | None = None
+    # initial log-sigma of the state-independent head (reference MuJoCo PPO
+    # inits sigma_param to -0.5, mujoco_ppo.py actor setup)
+    sigma_init: float = 0.0
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -72,7 +75,9 @@ class GaussianActor(nn.Module):
             log_sigma = jnp.clip(log_sigma, LOG_SIG_MIN, LOG_SIG_MAX)
         else:
             log_sigma = self.param(
-                "log_sigma", nn.initializers.zeros, (self.action_dim,)
+                "log_sigma",
+                nn.initializers.constant(self.sigma_init),
+                (self.action_dim,),
             )
             log_sigma = jnp.broadcast_to(
                 jnp.clip(log_sigma, LOG_SIG_MIN, LOG_SIG_MAX), mu.shape

@@ -102,6 +102,9 @@ class OnPolicyTrainer:
                 key, k_pre = jax.random.split(key)
                 ts, pre_metrics = algo.pre_learn(ts, traj, k_pre)
             processed0 = algo.process_rollout(ts, traj)
+            # fold this rollout into the running return statistics AFTER
+            # the first processing pass (reference ret_rms.update order)
+            ts = algo.update_rollout_stats(ts, traj)
 
             def repeat_body(carry, k):
                 ts = carry
@@ -149,6 +152,7 @@ class OnPolicyTrainer:
                 key, k_pre = jax.random.split(key)
                 ts, pre_metrics = algo.pre_learn(ts, traj, k_pre)
             processed0 = algo.process_rollout(ts, traj)
+            ts = algo.update_rollout_stats(ts, traj)
 
             def repeat_body(ts, k):
                 processed = (
