@@ -111,6 +111,7 @@ def main():
     from tianshou_tpu.envs.classic import CartPole
     from tianshou_tpu.networks.common import QNet
 
+    t_start = time.perf_counter()
     platform = jax.devices()[0].platform
     peak = PEAK_FLOPS.get("tpu" if platform not in ("cpu",) else "cpu")
 
@@ -126,7 +127,16 @@ def main():
     )
 
     # ---- conv/MXU workload: MinAtar Breakout ConvDQN + MFU ------------------
+    # guarded by a wall-clock budget: compile latency through the tunneled
+    # chip is variable (60-320s observed), and the headline JSON line must
+    # always be emitted within the driver's patience.  Reference figures
+    # (real chip, 2026-08): 189k env-steps/s, 1.45e9 flops/superstep.
+    conv_budget_ok = (time.perf_counter() - t_start) < float(
+        os.environ.get("BENCH_CONV_BUDGET_S", "240")
+    )
     try:
+        if not conv_budget_ok:
+            raise RuntimeError("skipped: headline compile used the budget")
         from tianshou_tpu.envs.minatar import make_minatar
         from tianshou_tpu.networks.conv import ConvQNet
 
