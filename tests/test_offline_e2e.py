@@ -259,3 +259,97 @@ def test_gail_pendulum(pendulum_data):
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_cql_lagrange_dual_dynamics(pendulum_data):
+    """CQL(Lagrange) (reference cql.py:361-373): the dual variable must
+    RISE while the conservative penalty exceeds the threshold (pushing the
+    critic down harder) and updates must run end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    buffer, bstate = pendulum_data
+    env = Pendulum()
+    algo = CQL(
+        actor=GaussianActor((64, 64), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((64, 64), num_critics=2),
+        action_space=env.action_space,
+        cql_weight=1.0,
+        num_repeat_actions=5,
+        with_lagrange=True,
+        lagrange_threshold=-1e6,  # penalty always above -> dual must grow
+        cql_alpha_lr=1e-2,
+    )
+    key = jax.random.key(0)
+    example = buffer.get(bstate, jnp.asarray([0]), jnp.asarray([0]))
+    ts = algo.init(key, jnp.asarray(example["obs"][0]))
+    la0 = float(ts.cql_log_alpha)
+    for i in range(5):
+        key, k = jax.random.split(key)
+        ts, bstate, metrics = algo.update(ts, buffer, bstate, k, 64)
+    assert float(ts.cql_log_alpha) > la0
+    assert "cql_alpha" in metrics
+    # and with a huge threshold the dual must shrink instead
+    algo2 = CQL(
+        actor=GaussianActor((64, 64), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((64, 64), num_critics=2),
+        action_space=env.action_space,
+        with_lagrange=True,
+        lagrange_threshold=1e6,
+        cql_alpha_lr=1e-2,
+        num_repeat_actions=5,
+    )
+    ts2 = algo2.init(key, jnp.asarray(example["obs"][0]))
+    for i in range(5):
+        key, k = jax.random.split(key)
+        ts2, bstate, _ = algo2.update(ts2, buffer, bstate, k, 64)
+    assert float(ts2.cql_log_alpha) < la0
+
+
+def test_calql_calibration_returns_and_clamping(pendulum_data):
+    """CalQL (reference cql.py:214-233,323-338): prepare_offline must store
+    exact Monte-Carlo returns per ring slot, and calibrated updates run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    buffer, bstate = pendulum_data
+    env = Pendulum()
+    algo = CQL(
+        actor=GaussianActor((64, 64), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((64, 64), num_critics=2),
+        action_space=env.action_space,
+        calibrated=True,
+        num_repeat_actions=5,
+        gamma=0.9,
+    )
+    bstate2 = algo.prepare_offline(buffer, bstate)
+    assert "calibration_return" in bstate2.storage.keys()
+    # oracle: reward-to-go with gamma within each episode, per env ring
+    rew = np.asarray(bstate.storage["rew"])
+    done = np.asarray(bstate.storage["terminated"]) | np.asarray(
+        bstate.storage["truncated"]
+    )
+    cal = np.asarray(bstate2.storage["calibration_return"])
+    N, T = rew.shape
+    size = np.asarray(bstate.size)
+    cursor = np.asarray(bstate.cursor)
+    for n in range(N):
+        # age order positions
+        start = (cursor[n] - size[n]) % T
+        order = [(start + t) % T for t in range(size[n])]
+        ret = 0.0
+        expected = {}
+        for p in reversed(order):
+            if done[n, p]:
+                ret = 0.0
+            ret = rew[n, p] + 0.9 * ret
+            expected[p] = ret
+        for p, want in expected.items():
+            np.testing.assert_allclose(cal[n, p], want, rtol=1e-5)
+    # one calibrated update step runs end to end
+    key = jax.random.key(0)
+    example = buffer.get(bstate2, jnp.asarray([0]), jnp.asarray([0]))
+    ts = algo.init(key, jnp.asarray(example["obs"][0]))
+    ts, bstate2, metrics = algo.update(ts, buffer, bstate2, key, 32)
+    assert np.isfinite(float(metrics["critic_loss"]))

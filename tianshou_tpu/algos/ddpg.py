@@ -41,6 +41,9 @@ class ACTrainState:
     # SAC extras (unused by DDPG/TD3)
     log_alpha: Any = None
     alpha_opt_state: Any = None
+    # CQL(Lagrange) dual variable (offline.py CQL.with_lagrange)
+    cql_log_alpha: Any = None
+    cql_alpha_opt_state: Any = None
 
     # uniform access used by the collector plumbing
     @property

@@ -269,8 +269,15 @@ class BCQ(Algorithm):
 class CQL(SAC):
     """Conservative Q-learning on top of SAC (reference ``cql.py:33``):
     logsumexp penalty over random/policy/next-policy actions minus the
-    dataset Q, scaled by ``cql_weight`` (Lagrange variant omitted in round 1;
-    ``calibrated`` CalQL variant likewise)."""
+    dataset Q, scaled by ``cql_weight``.
+
+    ``with_lagrange`` enables CQL(Lagrange) (``cql.py:98-103,361-373``):
+    the penalty scale becomes a learned dual variable
+    ``clip(exp(cql_log_alpha), alpha_min, alpha_max)`` applied per critic
+    to ``penalty_k - lagrange_threshold`` and trained to MAXIMIZE the
+    scaled penalties (gradient ascent on the dual).  The reference
+    defaults it on; here it is opt-in so the plain-CQL configs stay
+    exactly as benchmarked."""
 
     def __init__(
         self,
@@ -278,6 +285,12 @@ class CQL(SAC):
         cql_weight: float = 1.0,
         temperature: float = 1.0,
         num_repeat_actions: int = 10,
+        with_lagrange: bool = False,
+        lagrange_threshold: float = 10.0,
+        cql_alpha_lr: float = 1e-4,
+        alpha_min: float = 0.0,
+        alpha_max: float = 1e6,
+        calibrated: bool = False,
         **kwargs,
     ):
         kwargs.setdefault("n_step", 1)
@@ -285,6 +298,48 @@ class CQL(SAC):
         self.cql_weight = cql_weight
         self.temperature = temperature
         self.num_repeat_actions = num_repeat_actions
+        self.with_lagrange = with_lagrange
+        self.lagrange_threshold = lagrange_threshold
+        self.cql_alpha_optim = optax.adam(cql_alpha_lr)
+        self.alpha_min = alpha_min
+        self.alpha_max = alpha_max
+        # CalQL (arXiv:2303.05479; reference cql.py:106,323-338): clamp the
+        # OOD Q-values in the penalty at the transition's Monte-Carlo
+        # return, precomputed over the dataset by prepare_offline
+        self.calibrated = calibrated
+
+    def prepare_offline(self, buffer, bstate):
+        """Precompute per-transition Monte-Carlo returns (reward-to-go with
+        zero bootstrap) into ``storage['calibration_return']`` — the
+        reference's ``process_buffer`` CalQL hook (``cql.py:214-233``)."""
+        if not self.calibrated:
+            return bstate
+        from tianshou_tpu.ops.returns import discounted_returns
+
+        chron = buffer.chronological(bstate)  # [T, N, ...]
+        done = chron["terminated"] | chron["truncated"]
+        rets = discounted_returns(
+            chron["rew"], jnp.zeros_like(chron["rew"]),
+            chron["terminated"], done, self.gamma,
+        )  # [T, N] in age order
+        # scatter back to ring positions: slot (cursor + t) % capacity
+        T, N = rets.shape
+        pos = (bstate.cursor[None, :] + jnp.arange(T)[:, None]) % T  # [T, N]
+        env = jnp.broadcast_to(jnp.arange(N)[None, :], pos.shape)
+        cal = jnp.zeros((N, T), rets.dtype).at[env, pos].set(rets)
+        storage = Batch(bstate.storage)
+        storage["calibration_return"] = cal
+        return bstate.replace(storage=storage)
+
+    def init(self, key, obs_example):
+        ts = super().init(key, obs_example)
+        if self.with_lagrange:
+            la = jnp.zeros((), jnp.float32)
+            ts = ts.replace(
+                cql_log_alpha=la,
+                cql_alpha_opt_state=self.cql_alpha_optim.init(la),
+            )
+        return ts
 
     def update(self, ts, buffer, bstate, key, batch_size):
         k_s, k_pi, k_tgt, k_cur, k_nxt, k_rand = jax.random.split(key, 6)
@@ -349,13 +404,38 @@ class CQL(SAC):
         logp_rand = jnp.log(0.5**act_dim)
         a_cur, logp_cur = jax.lax.stop_gradient((a_cur, logp_cur))
         a_nxt, logp_nxt = jax.lax.stop_gradient((a_nxt, logp_nxt))
+        cal_ret = None
+        if self.calibrated:
+            # [B] MC return of each sampled transition, repeated per action
+            cal_ret = jnp.repeat(
+                bstate.storage["calibration_return"][env_idx, pos], n_rep
+            )[None, :]  # [1, B*n_rep] broadcasting over the critic axis
+
+        # CQL(Lagrange): penalties scaled by the (constant-for-this-grad)
+        # clamped dual; the dual itself is updated below by ascent
+        cql_alpha = jnp.float32(1.0)
+        if self.with_lagrange:
+            cql_alpha = jax.lax.stop_gradient(
+                jnp.clip(
+                    jnp.exp(ts.cql_log_alpha), self.alpha_min, self.alpha_max
+                )
+            )
 
         def critic_loss_fn(cp):
             q_data = self.critic.apply(cp, obs, act)  # [2, B]
             td_loss = ((q_data - target[None, :]) ** 2).mean()
-            q_cur = self.critic.apply(cp, obs_rep, a_cur) - logp_cur[None, :]
-            q_nxt = self.critic.apply(cp, obs_rep, a_nxt) - logp_nxt[None, :]
-            q_rand = self.critic.apply(cp, obs_rep, a_rand) - logp_rand
+            q_cur = self.critic.apply(cp, obs_rep, a_cur)
+            q_nxt = self.critic.apply(cp, obs_rep, a_nxt)
+            q_rand = self.critic.apply(cp, obs_rep, a_rand)
+            if cal_ret is not None:
+                # CalQL: OOD values are floored at the MC return BEFORE the
+                # importance correction (cql.py:323-338)
+                q_cur = jnp.maximum(q_cur, cal_ret)
+                q_nxt = jnp.maximum(q_nxt, cal_ret)
+                q_rand = jnp.maximum(q_rand, cal_ret)
+            q_cur = q_cur - logp_cur[None, :]
+            q_nxt = q_nxt - logp_nxt[None, :]
+            q_rand = q_rand - logp_rand
             cat = jnp.concatenate(
                 [
                     q_rand.reshape(2, batch_size, n_rep),
@@ -367,19 +447,46 @@ class CQL(SAC):
             lse = jax.scipy.special.logsumexp(
                 cat / self.temperature, axis=-1
             )  # [2, B]
-            penalty = (
-                lse.mean() * self.cql_weight * self.temperature
-                - q_data.mean() * self.cql_weight
-            )
-            return td_loss + penalty, (td_loss, penalty)
+            # per-critic raw penalties (reference cql1/2_scaled_loss)
+            raw = (
+                lse.mean(axis=-1) * self.cql_weight * self.temperature
+                - q_data.mean(axis=-1) * self.cql_weight
+            )  # [2]
+            if self.with_lagrange:
+                # reference sums the per-critic scaled penalties
+                penalty = (
+                    cql_alpha * (raw - self.lagrange_threshold)
+                ).sum()
+            else:
+                # plain CQL: mean over the critic axis (exactly the
+                # round-1 benchmarked loss)
+                penalty = raw.mean()
+            return td_loss + penalty, (td_loss, penalty, raw)
 
-        (closs, (td_loss, penalty)), cgrads = jax.value_and_grad(
+        (closs, (td_loss, penalty, raw_pen)), cgrads = jax.value_and_grad(
             critic_loss_fn, has_aux=True
         )(ts.critic_params)
         cupd, c_opt = self.critic_optim.update(
             cgrads, ts.critic_opt_state, ts.critic_params
         )
         critic_params = optax.apply_updates(ts.critic_params, cupd)
+
+        cql_log_alpha = ts.cql_log_alpha
+        cql_alpha_opt_state = ts.cql_alpha_opt_state
+        if self.with_lagrange:
+            raw_const = jax.lax.stop_gradient(raw_pen)
+
+            def dual_loss_fn(la):
+                a = jnp.clip(jnp.exp(la), self.alpha_min, self.alpha_max)
+                return -0.5 * (
+                    a * (raw_const - self.lagrange_threshold)
+                ).sum()
+
+            _, dgrad = jax.value_and_grad(dual_loss_fn)(ts.cql_log_alpha)
+            dupd, cql_alpha_opt_state = self.cql_alpha_optim.update(
+                dgrad, ts.cql_alpha_opt_state
+            )
+            cql_log_alpha = optax.apply_updates(ts.cql_log_alpha, dupd)
 
         ts = ts.replace(
             actor_params=actor_params,
@@ -391,15 +498,22 @@ class CQL(SAC):
             critic_opt_state=c_opt,
             log_alpha=log_alpha,
             alpha_opt_state=al_opt,
+            cql_log_alpha=cql_log_alpha,
+            cql_alpha_opt_state=cql_alpha_opt_state,
             step=ts.step + 1,
         )
-        return ts, bstate, {
+        metrics = {
             "critic_loss": closs,
             "td_loss": td_loss,
             "cql_penalty": penalty,
             "actor_loss": aloss,
             "alpha": jnp.exp(log_alpha),
         }
+        if self.with_lagrange:
+            metrics["cql_alpha"] = jnp.clip(
+                jnp.exp(cql_log_alpha), self.alpha_min, self.alpha_max
+            )
+        return ts, bstate, metrics
 
 
 @struct.dataclass

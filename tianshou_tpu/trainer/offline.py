@@ -76,6 +76,10 @@ class OfflineTrainer:
         )
         ts = self.algo.init(k_init, obs_example)
         bstate = self.buffer_state
+        # one-time dataset preprocessing (e.g. CalQL calibration returns —
+        # the reference's process_buffer hook, cql.py:214-233)
+        if hasattr(self.algo, "prepare_offline"):
+            bstate = self.algo.prepare_offline(self.buffer, bstate)
         superstep = self._build_superstep()
 
         grad_step = 0
