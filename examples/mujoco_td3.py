@@ -1,0 +1,121 @@
+"""TD3 / DDPG on MuJoCo via the host-env bridge (analogs of
+``examples/mujoco/mujoco_td3.py`` / ``mujoco_ddpg.py``; BASELINE.md
+off-policy rows).
+
+Reference hyperparameters — TD3: hidden 256x256, actor/critic lr 3e-4,
+exploration noise 0.1, policy noise 0.2, noise clip 0.5, actor delay 2,
+tau 5e-3, batch 256, buffer 1M, 25k random start steps, 1 update per env
+step.  DDPG: same but lr 1e-3 and no smoothing/delay.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", default="td3", choices=("td3", "ddpg"))
+    p.add_argument("--task", default="HalfCheetah-v4")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--num-envs", type=int, default=8)
+    p.add_argument("--test-envs", type=int, default=4)
+    p.add_argument("--max-epoch", type=int, default=100)
+    p.add_argument("--step-per-epoch", type=int, default=10000)
+    p.add_argument("--step-per-collect", type=int, default=8)
+    p.add_argument("--update-per-step", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--buffer-size", type=int, default=1000000)
+    p.add_argument("--start-timesteps", type=int, default=25000)
+    p.add_argument("--exploration-noise", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logdir", default=None)
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import gymnasium as gym
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from tianshou_tpu.algos.ddpg import DDPG, TD3
+    from tianshou_tpu.collect.host_collector import HostCollector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.host import HostVectorEnv, space_from_gym
+    from tianshou_tpu.networks.continuous import CriticEnsemble, DeterministicActor
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+    from tianshou_tpu.utils.logger import TensorboardLogger
+
+    make = lambda: gym.make(args.task)
+    probe = make()
+    act_space = space_from_gym(probe.action_space)
+    act_dim = act_space.shape[0]
+    probe.close()
+
+    common = dict(
+        action_space=act_space,
+        gamma=0.99,
+        tau=0.005,
+        exploration_noise=args.exploration_noise,
+    )
+    if args.algo == "td3":
+        algo = TD3(
+            DeterministicActor((256, 256), act_dim),
+            CriticEnsemble((256, 256), num_critics=2),
+            actor_lr=3e-4,
+            critic_lr=3e-4,
+            policy_noise=0.2,
+            noise_clip=0.5,
+            update_actor_freq=2,
+            **common,
+        )
+    else:
+        algo = DDPG(
+            DeterministicActor((256, 256), act_dim),
+            CriticEnsemble((256, 256), num_critics=1),
+            actor_lr=1e-3,
+            critic_lr=1e-3,
+            **common,
+        )
+    buffer = ReplayBuffer(
+        capacity=args.buffer_size // args.num_envs, num_envs=args.num_envs
+    )
+    train_venv = HostVectorEnv([make for _ in range(args.num_envs)])
+    test_venv = HostVectorEnv([make for _ in range(args.test_envs)])
+    logger = TensorboardLogger(
+        args.logdir or f"log/{args.algo}_{args.task}_{args.seed}_{int(time.time())}"
+    )
+    trainer = OffPolicyTrainer(
+        algo,
+        HostCollector(algo, train_venv, buffer),
+        HostCollector(algo, test_venv),
+        buffer,
+        max_epoch=args.max_epoch,
+        step_per_epoch=args.step_per_epoch,
+        step_per_collect=args.step_per_collect * args.num_envs,
+        update_per_step=args.update_per_step,
+        batch_size=args.batch_size,
+        episode_per_test=args.test_envs,
+        warmup_steps=args.start_timesteps,
+        seed=args.seed,
+        logger=logger,
+    )
+    t0 = time.time()
+    info = trainer.run()
+    dt = time.time() - t0
+    print(
+        f"{args.algo.upper()}/{args.task}: "
+        f"best={info.best_reward:.1f}±{info.best_reward_std:.1f} "
+        f"env_steps={info.env_step} wall={dt:.0f}s steps/s={info.env_step/dt:.0f}"
+    )
+    train_venv.close()
+    test_venv.close()
+    return info
+
+
+if __name__ == "__main__":
+    main()
