@@ -344,6 +344,54 @@ def test_framestack_dqn_dedup_trains():
     assert info.best_reward >= 150, f"best={info.best_reward}"
 
 
+def test_her_keeps_stored_reward_for_unrewritten_rows():
+    """Non-relabeled samples must keep the buffer's stored (possibly
+    shaped) reward — the reference recomputes rewards only for relabeled
+    episodes (``her.py:146-160``).  Regression test for the round-2 bug
+    where ``compute_reward_fn`` overwrote ALL rows."""
+    import jax
+    from tests.helpers import GoalReachEnv
+    from tianshou_tpu.data.her import HERReplayBuffer
+
+    buf = HERReplayBuffer(
+        capacity=16,
+        num_envs=1,
+        compute_reward_fn=GoalReachEnv.compute_reward,
+        achieved_slice=(1, 2),
+        desired_slice=(2, 3),
+        horizon=8,
+        future_k=2.0,  # rewrite ~half the samples
+    )
+    ex = Batch(
+        obs=np.zeros(3, np.float32), act=np.zeros(1, np.float32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros(3, np.float32),
+    )
+    st = buf.init(ex)
+    shaped = 7.5  # sentinel distinct from anything compute_reward returns
+    for i in range(6):
+        tr = Batch(
+            obs=np.asarray([[i, i, 99.0]], np.float32),
+            act=np.ones((1, 1), np.float32),
+            rew=np.full((1,), shaped, np.float32),
+            terminated=np.asarray([i == 5]),
+            truncated=np.zeros(1, bool),
+            obs_next=np.asarray([[i + 1, i + 1, 99.0]], np.float32),
+        )
+        st = buf.add(st, tr.to_jax())
+
+    _, _, _, batch = buf.sample_her(st, jax.random.key(3), 2048)
+    goals = np.asarray(batch["obs"])[:, 2]
+    rew = np.asarray(batch["rew"])
+    unrewritten = goals == 99.0
+    # both populations must be present at future_k=2
+    assert unrewritten.sum() > 400 and (~unrewritten).sum() > 400
+    # unrewritten rows keep the stored shaped reward verbatim
+    np.testing.assert_array_equal(rew[unrewritten], shaped)
+    # rewritten rows get the recomputed sparse reward (0 or -1), never 7.5
+    assert np.all(np.isin(rew[~unrewritten], (-1.0, 0.0)))
+
+
 def test_her_future_offset_uniform_over_remainder():
     """The 'future' offset follows the reference's ``round(uniform *
     remainder)`` distribution (``her.py:126-130``): for an episode much

@@ -222,6 +222,47 @@ def test_module_factory_dispatch():
     assert isinstance(default_value_network(pix), ConvValueNet)
 
 
+def test_cli_registry_every_algo_parses_and_builds(tmp_path):
+    """Every CLI registry entry (including the offline builders) parses its
+    flag surface and constructs its algorithm from the params dataclass
+    defaults (reference: all 12+ builders are CLI-drivable via
+    jsonargparse, ``experiment.py:853-1246``)."""
+    from tianshou_tpu.envs.classic import CartPole, Pendulum
+    from tianshou_tpu.highlevel.cli import (
+        OFFLINE_ALGOS,
+        build_parser,
+        dataclass_from_args,
+        _registry,
+    )
+    from tianshou_tpu.highlevel.env import Environments
+    from tianshou_tpu.highlevel.experiment import Experiment
+
+    discrete_only = {"dqn", "iqn", "discrete_sac"}
+    cart, pend = CartPole(), Pendulum()
+    registry = _registry()
+    assert OFFLINE_ALGOS <= set(registry)
+    for algo, (builder_t, params_t, setter) in registry.items():
+        task = "CartPole-v1" if algo in discrete_only else "Pendulum-v1"
+        argv = ["--algo", algo, "--task", task]
+        if algo in OFFLINE_ALGOS:
+            argv += ["--dataset", str(tmp_path / "d.h5")]
+        ns = build_parser(algo).parse_args(argv)
+        assert params_t is not None, f"{algo} has no params dataclass"
+        params = dataclass_from_args(params_t, ns, "params")
+        env = cart if algo in discrete_only else pend
+        envs = Environments(
+            None, None, env.observation_space, env.action_space, "jax"
+        )
+        builder = builder_t(JaxEnvFactory(task))
+        getattr(builder, setter)(params)
+        if algo in OFFLINE_ALGOS:
+            builder.with_offline_data(str(tmp_path / "d.h5"))
+        exp = builder.build()
+        assert isinstance(exp, Experiment)
+        alg = builder._make_algo(envs)
+        assert alg is not None, algo
+
+
 def test_cli_tier_runs_and_overrides_fields():
     """Declarative CLI over the builders (the reference's jsonargparse
     tier, examples/*_hl.py): dataclass fields become --section.field

@@ -275,9 +275,9 @@ class CQL(SAC):
     the penalty scale becomes a learned dual variable
     ``clip(exp(cql_log_alpha), alpha_min, alpha_max)`` applied per critic
     to ``penalty_k - lagrange_threshold`` and trained to MAXIMIZE the
-    scaled penalties (gradient ascent on the dual).  The reference
-    defaults it on; here it is opt-in so the plain-CQL configs stay
-    exactly as benchmarked."""
+    scaled penalties (gradient ascent on the dual).  Defaults on, matching
+    the reference (``cql.py:98``); pass ``with_lagrange=False`` for plain
+    CQL."""
 
     def __init__(
         self,
@@ -285,7 +285,7 @@ class CQL(SAC):
         cql_weight: float = 1.0,
         temperature: float = 1.0,
         num_repeat_actions: int = 10,
-        with_lagrange: bool = False,
+        with_lagrange: bool = True,
         lagrange_threshold: float = 10.0,
         cql_alpha_lr: float = 1e-4,
         alpha_min: float = 0.0,

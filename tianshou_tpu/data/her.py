@@ -96,11 +96,19 @@ class HERReplayBuffer(ReplayBuffer):
 
         obs = self._set_desired(batch["obs"], goal)
         obs_next = self._set_desired(batch["obs_next"], goal)
-        rew = self.compute_reward_fn(self._achieved(batch["obs_next"]), goal)
+        # Only relabeled rows get a recomputed reward; the rest keep the
+        # stored reward (the reference rewrites rewards only for relabeled
+        # episodes, her.py:146-160 — recomputing for all rows silently
+        # corrupts shaped-reward envs whose stored reward differs from the
+        # sparse goal reward).
+        rew_hindsight = self.compute_reward_fn(
+            self._achieved(batch["obs_next"]), goal
+        ).astype(jnp.float32)
+        rew = jnp.where(rewrite, rew_hindsight, batch["rew"])
         out = Batch(
             obs=obs,
             act=batch["act"],
-            rew=rew.astype(jnp.float32),
+            rew=rew,
             obs_next=obs_next,
             terminated=batch["terminated"],
             truncated=batch["truncated"],

@@ -69,21 +69,32 @@ def dataclass_from_args(dc_type: type, ns: argparse.Namespace, prefix: str):
     return dc_type(**kwargs)
 
 
+#: offline algorithms require ``--dataset path.h5`` (an HDF5 replay buffer,
+#: the analog of the reference's expert-buffer input in offline examples)
+OFFLINE_ALGOS = frozenset({"bc", "cql", "td3_bc"})
+
+
 def _registry():
     from tianshou_tpu.highlevel import experiment as ex
 
     return {
-        "dqn": (ex.DQNExperimentBuilder, ex.DQNParams, "with_dqn_params"),
-        "iqn": (ex.IQNExperimentBuilder, ex.IQNParams, "with_dqn_params"),
-        "ppo": (ex.PPOExperimentBuilder, ex.PPOParams, "with_ppo_params"),
-        "a2c": (ex.A2CExperimentBuilder, ex.OnPolicyParams, "with_a2c_params"),
-        "pg": (ex.PGExperimentBuilder, None, None),
-        "npg": (ex.NPGExperimentBuilder, None, None),
-        "trpo": (ex.TRPOExperimentBuilder, None, None),
-        "sac": (ex.SACExperimentBuilder, ex.SACParams, "with_sac_params"),
-        "discrete_sac": (ex.DiscreteSACExperimentBuilder, None, None),
-        "td3": (ex.TD3ExperimentBuilder, ex.TD3Params, "with_td3_params"),
-        "ddpg": (ex.DDPGExperimentBuilder, None, None),
+        "dqn": (ex.DQNExperimentBuilder, ex.DQNParams, "with_params"),
+        "iqn": (ex.IQNExperimentBuilder, ex.IQNParams, "with_params"),
+        "ppo": (ex.PPOExperimentBuilder, ex.PPOParams, "with_params"),
+        "a2c": (ex.A2CExperimentBuilder, ex.OnPolicyParams, "with_params"),
+        "pg": (ex.PGExperimentBuilder, ex.PGParams, "with_params"),
+        "npg": (ex.NPGExperimentBuilder, ex.NPGParams, "with_params"),
+        "trpo": (ex.TRPOExperimentBuilder, ex.TRPOParams, "with_params"),
+        "sac": (ex.SACExperimentBuilder, ex.SACParams, "with_params"),
+        "discrete_sac": (
+            ex.DiscreteSACExperimentBuilder, ex.DiscreteSACParams, "with_params"
+        ),
+        "td3": (ex.TD3ExperimentBuilder, ex.TD3Params, "with_params"),
+        "ddpg": (ex.DDPGExperimentBuilder, ex.DDPGParams, "with_params"),
+        "redq": (ex.REDQExperimentBuilder, ex.REDQParams, "with_params"),
+        "bc": (ex.BCExperimentBuilder, ex.BCParams, "with_params"),
+        "cql": (ex.CQLExperimentBuilder, ex.CQLParams, "with_params"),
+        "td3_bc": (ex.TD3BCExperimentBuilder, ex.TD3BCParams, "with_params"),
     }
 
 
@@ -111,6 +122,9 @@ def build_parser(algo: str | None = None) -> argparse.ArgumentParser:
                         help="force the gymnasium host-env factory")
     parser.add_argument("--watch", action="store_true",
                         help="render/evaluate after training (watch loop)")
+    parser.add_argument("--dataset", default=None,
+                        help="HDF5 replay dataset (required for offline "
+                             "algos: " + ", ".join(sorted(OFFLINE_ALGOS)) + ")")
     _add_dataclass_args(parser, ExperimentConfig, "experiment")
     _add_dataclass_args(parser, SamplingConfig, "sampling")
     if algo is not None:
@@ -140,6 +154,10 @@ def experiment_cli(argv: list[str] | None = None):
     builder = builder_t(factory, config=config, sampling=sampling)
     if params_t is not None and setter is not None:
         getattr(builder, setter)(dataclass_from_args(params_t, ns, "params"))
+    if algo in OFFLINE_ALGOS:
+        if ns.dataset is None:
+            raise SystemExit(f"--dataset is required for offline algo {algo!r}")
+        builder.with_offline_data(ns.dataset)
     if ns.watch:
         builder.config.watch = True
     exp = builder.build()

@@ -54,6 +54,21 @@ __all__ = [
     "IQNExperimentBuilder",
     "REDQExperimentBuilder",
     "DiscreteSACExperimentBuilder",
+    "REDQParams",
+    "DQNParams",
+    "IQNParams",
+    "OnPolicyParams",
+    "PPOParams",
+    "PGParams",
+    "NPGParams",
+    "TRPOParams",
+    "SACParams",
+    "DiscreteSACParams",
+    "TD3Params",
+    "DDPGParams",
+    "BCParams",
+    "CQLParams",
+    "TD3BCParams",
 ]
 
 
@@ -341,6 +356,14 @@ class ExperimentBuilder:
         self.offline_data_path = path
         return self
 
+    def with_params(self, params):
+        """Attach the builder's algorithm-params dataclass (uniform
+        counterpart of the per-algo ``with_*_params`` setters; the analog
+        of the reference's per-builder ``with_*_params`` methods,
+        ``experiment.py:853-1246``)."""
+        self.params = params
+        return self
+
     def build_seeded_collection(self, num_seeds: int) -> list[Experiment]:
         """Identical experiments differing only by seed
         (``experiment.py:531-546``)."""
@@ -501,6 +524,15 @@ class A2CExperimentBuilder(ExperimentBuilder):
         )
 
 
+@dataclasses.dataclass
+class PGParams:
+    hidden_sizes: tuple[int, ...] = (64, 64)
+    lr: float = 3e-4
+    gamma: float = 0.99
+    ret_norm: bool = True
+    ent_coef: float = 0.0
+
+
 class PGExperimentBuilder(ExperimentBuilder):
     trainer_kind = "onpolicy"
 
@@ -509,11 +541,27 @@ class PGExperimentBuilder(ExperimentBuilder):
         from tianshou_tpu.networks.common import QNet
         from tianshou_tpu.networks.continuous import GaussianActor
 
+        p = getattr(self, "params", PGParams())
         if isinstance(envs.action_space, Discrete):
-            actor = QNet((64, 64), envs.action_space.n)
+            actor = QNet(p.hidden_sizes, envs.action_space.n)
         else:
-            actor = GaussianActor((64, 64), envs.action_space.shape[0])
-        return PG(actor, envs.action_space, lr=3e-4, ret_norm=True)
+            actor = GaussianActor(p.hidden_sizes, envs.action_space.shape[0])
+        return PG(
+            actor, envs.action_space, lr=p.lr, gamma=p.gamma,
+            ret_norm=p.ret_norm, ent_coef=p.ent_coef,
+        )
+
+
+@dataclasses.dataclass
+class NPGParams:
+    hidden_sizes: tuple[int, ...] = (64, 64)
+    critic_lr: float = 1e-3
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    optim_critic_iters: int = 5
+    trust_region_size: float = 0.5
+    adv_norm: bool = True
+    ret_norm: bool = True
 
 
 class NPGExperimentBuilder(ExperimentBuilder):
@@ -522,8 +570,22 @@ class NPGExperimentBuilder(ExperimentBuilder):
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.npg import NPG
 
-        actor, critic = _make_actor_critic(envs, (64, 64))
-        return NPG(actor, critic, envs.action_space)
+        p = getattr(self, "params", NPGParams())
+        actor, critic = _make_actor_critic(envs, p.hidden_sizes)
+        return NPG(
+            actor, critic, envs.action_space,
+            critic_lr=p.critic_lr, gamma=p.gamma, gae_lambda=p.gae_lambda,
+            optim_critic_iters=p.optim_critic_iters,
+            trust_region_size=p.trust_region_size,
+            adv_norm=p.adv_norm, ret_norm=p.ret_norm,
+        )
+
+
+@dataclasses.dataclass
+class TRPOParams(NPGParams):
+    max_kl: float = 0.01
+    backtrack_coeff: float = 0.8
+    max_backtracks: int = 10
 
 
 class TRPOExperimentBuilder(ExperimentBuilder):
@@ -532,8 +594,16 @@ class TRPOExperimentBuilder(ExperimentBuilder):
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.npg import TRPO
 
-        actor, critic = _make_actor_critic(envs, (64, 64))
-        return TRPO(actor, critic, envs.action_space)
+        p = getattr(self, "params", TRPOParams())
+        actor, critic = _make_actor_critic(envs, p.hidden_sizes)
+        return TRPO(
+            actor, critic, envs.action_space,
+            critic_lr=p.critic_lr, gamma=p.gamma, gae_lambda=p.gae_lambda,
+            optim_critic_iters=p.optim_critic_iters,
+            adv_norm=p.adv_norm, ret_norm=p.ret_norm,
+            max_kl=p.max_kl, backtrack_coeff=p.backtrack_coeff,
+            max_backtracks=p.max_backtracks,
+        )
 
 
 @dataclasses.dataclass
@@ -574,6 +644,19 @@ class SACExperimentBuilder(ExperimentBuilder):
         )
 
 
+@dataclasses.dataclass
+class DiscreteSACParams:
+    hidden_sizes: tuple[int, ...] = (128, 128)
+    actor_lr: float = 1e-3
+    critic_lr: float = 1e-3
+    alpha: float = 0.05
+    auto_alpha: bool = True
+    alpha_lr: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    n_step: int = 1
+
+
 class DiscreteSACExperimentBuilder(ExperimentBuilder):
     trainer_kind = "offpolicy"
 
@@ -581,12 +664,16 @@ class DiscreteSACExperimentBuilder(ExperimentBuilder):
         from tianshou_tpu.algos.sac import DiscreteSAC
         from tianshou_tpu.networks.common import QNet, QNetEnsemble
 
+        p = getattr(self, "params", DiscreteSACParams())
         assert isinstance(envs.action_space, Discrete)
         n = envs.action_space.n
         return DiscreteSAC(
-            actor=QNet((128, 128), n),
-            critic=QNetEnsemble((128, 128), n, num_critics=2),
+            actor=QNet(p.hidden_sizes, n),
+            critic=QNetEnsemble(p.hidden_sizes, n, num_critics=2),
             action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr,
+            alpha=p.alpha, auto_alpha=p.auto_alpha, alpha_lr=p.alpha_lr,
+            gamma=p.gamma, tau=p.tau, n_step=p.n_step,
         )
 
 
@@ -630,6 +717,17 @@ class TD3ExperimentBuilder(ExperimentBuilder):
         )
 
 
+@dataclasses.dataclass
+class DDPGParams:
+    hidden_sizes: tuple[int, ...] = (256, 256)
+    actor_lr: float = 1e-3
+    critic_lr: float = 1e-3
+    gamma: float = 0.99
+    tau: float = 0.005
+    exploration_noise: float = 0.1
+    n_step: int = 1
+
+
 class DDPGExperimentBuilder(ExperimentBuilder):
     trainer_kind = "offpolicy"
 
@@ -640,11 +738,21 @@ class DDPGExperimentBuilder(ExperimentBuilder):
             DeterministicActor,
         )
 
+        p = getattr(self, "params", DDPGParams())
         return DDPG(
-            actor=DeterministicActor((256, 256), envs.action_space.shape[0]),
-            critic=CriticEnsemble((256, 256), num_critics=1),
+            actor=DeterministicActor(p.hidden_sizes, envs.action_space.shape[0]),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=1),
             action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr,
+            gamma=p.gamma, tau=p.tau, n_step=p.n_step,
+            exploration_noise=p.exploration_noise,
         )
+
+
+@dataclasses.dataclass
+class BCParams:
+    hidden_sizes: tuple[int, ...] = (128, 128)
+    lr: float = 1e-3
 
 
 class BCExperimentBuilder(ExperimentBuilder):
@@ -657,11 +765,36 @@ class BCExperimentBuilder(ExperimentBuilder):
         from tianshou_tpu.networks.common import QNet
         from tianshou_tpu.networks.continuous import DeterministicActor
 
+        p = getattr(self, "params", BCParams())
         if isinstance(envs.action_space, Discrete):
-            actor = QNet((128, 128), envs.action_space.n)
+            actor = QNet(p.hidden_sizes, envs.action_space.n)
         else:
-            actor = DeterministicActor((128, 128), envs.action_space.shape[0])
-        return BC(actor, envs.action_space)
+            actor = DeterministicActor(
+                p.hidden_sizes, envs.action_space.shape[0]
+            )
+        return BC(actor, envs.action_space, lr=p.lr)
+
+
+@dataclasses.dataclass
+class CQLParams:
+    """CQL(+Lagrange/CalQL) knobs, mirroring the reference's CQLPolicy
+    surface (``cql.py:33-106``; d4rl example flags ``d4rl_cql.py:143-160``)."""
+
+    hidden_sizes: tuple[int, ...] = (256, 256)
+    actor_lr: float = 1e-4
+    critic_lr: float = 3e-4
+    alpha: float = 0.2
+    auto_alpha: bool = True
+    alpha_lr: float = 1e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    cql_weight: float = 1.0
+    temperature: float = 1.0
+    num_repeat_actions: int = 10
+    with_lagrange: bool = True
+    lagrange_threshold: float = 10.0
+    cql_alpha_lr: float = 1e-4
+    calibrated: bool = False
 
 
 class CQLExperimentBuilder(ExperimentBuilder):
@@ -671,13 +804,28 @@ class CQLExperimentBuilder(ExperimentBuilder):
         from tianshou_tpu.algos.offline import CQL
         from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
 
+        p = getattr(self, "params", CQLParams())
         return CQL(
             actor=GaussianActor(
-                (256, 256), envs.action_space.shape[0], conditioned_sigma=True
+                p.hidden_sizes, envs.action_space.shape[0],
+                conditioned_sigma=True,
             ),
-            critic=CriticEnsemble((256, 256), num_critics=2),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=2),
             action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr,
+            alpha=p.alpha, auto_alpha=p.auto_alpha, alpha_lr=p.alpha_lr,
+            gamma=p.gamma, tau=p.tau,
+            cql_weight=p.cql_weight, temperature=p.temperature,
+            num_repeat_actions=p.num_repeat_actions,
+            with_lagrange=p.with_lagrange,
+            lagrange_threshold=p.lagrange_threshold,
+            cql_alpha_lr=p.cql_alpha_lr, calibrated=p.calibrated,
         )
+
+
+@dataclasses.dataclass
+class TD3BCParams(TD3Params):
+    bc_alpha: float = 2.5
 
 
 class TD3BCExperimentBuilder(ExperimentBuilder):
@@ -690,11 +838,24 @@ class TD3BCExperimentBuilder(ExperimentBuilder):
             DeterministicActor,
         )
 
+        p = getattr(self, "params", TD3BCParams())
         return TD3BC(
-            actor=DeterministicActor((256, 256), envs.action_space.shape[0]),
-            critic=CriticEnsemble((256, 256), num_critics=2),
+            actor=DeterministicActor(p.hidden_sizes, envs.action_space.shape[0]),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=2),
             action_space=envs.action_space,
+            actor_lr=p.actor_lr, critic_lr=p.critic_lr,
+            gamma=p.gamma, tau=p.tau,
+            policy_noise=p.policy_noise, noise_clip=p.noise_clip,
+            update_actor_freq=p.update_actor_freq,
+            bc_alpha=p.bc_alpha,
         )
+
+
+@dataclasses.dataclass
+class REDQParams:
+    hidden_sizes: tuple[int, ...] = (256, 256)
+    ensemble_size: int = 10
+    subset_size: int = 2
 
 
 class REDQExperimentBuilder(ExperimentBuilder):
@@ -704,12 +865,14 @@ class REDQExperimentBuilder(ExperimentBuilder):
         from tianshou_tpu.algos.redq import REDQ
         from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
 
+        p = getattr(self, "params", REDQParams())
         return REDQ(
             actor=GaussianActor(
-                (256, 256), envs.action_space.shape[0], conditioned_sigma=True
+                p.hidden_sizes, envs.action_space.shape[0],
+                conditioned_sigma=True,
             ),
-            critic=CriticEnsemble((256, 256), num_critics=10),
+            critic=CriticEnsemble(p.hidden_sizes, num_critics=p.ensemble_size),
             action_space=envs.action_space,
-            ensemble_size=10,
-            subset_size=2,
+            ensemble_size=p.ensemble_size,
+            subset_size=p.subset_size,
         )
