@@ -14,6 +14,9 @@ import subprocess
 import sys
 
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_dist_worker.py")
+TRAINER_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_dist_trainer_worker.py"
+)
 
 
 def _free_port() -> int:
@@ -57,3 +60,89 @@ def test_two_process_distributed_training():
     assert results[0] == results[1], results
     # and training across the global batch actually learns
     assert results[0][1] < results[0][0], results[0]
+
+
+def test_two_process_distributed_trainer_reaches_threshold():
+    """The REAL training architecture across processes
+    (``DistributedOffPolicyTrainer``): each process runs the standard
+    collect -> local replay shard -> n-step presample pipeline, the
+    learner is one global-mesh data-parallel ``update_sampled`` per
+    gradient step, and DQN CartPole with n_step=3 reaches the reward
+    threshold with parameters in cross-process lockstep."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, TRAINER_WORKER, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out.decode())
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        _, stopped, best, env_step, digest = lines[0].split()
+        results.append((int(stopped), float(best), int(env_step), float(digest)))
+
+    # lockstep: identical stop decision, env-step count and parameters
+    assert results[0] == results[1], results
+    stopped, best, _, _ = results[0]
+    assert stopped == 1 and best >= 170, results[0]
+
+
+def test_distributed_trainer_per_writeback_single_process():
+    """PER through the distributed trainer (process_count=1, 8-device
+    mesh): sampling uses real IS weights and priorities are written back
+    process-locally from priority_scores (pre-update |TD|), so the
+    sum-tree actually departs from its init value."""
+    import jax
+    import numpy as np
+
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.distributed import DistributedOffPolicyTrainer
+
+    env = CartPole()
+    algo = DQN(
+        network=QNet(hidden_sizes=(32, 32), num_actions=2),
+        action_space=env.action_space,
+        lr=1e-3, gamma=0.9, n_step=3, target_update_freq=100,
+    )
+    buffer = PrioritizedReplayBuffer(capacity=200, num_envs=4, alpha=0.6, beta=0.4)
+    trainer = DistributedOffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 4), buffer),
+        Collector(algo, VectorEnv(env, 4)),
+        buffer,
+        max_epoch=1,
+        step_per_epoch=64,
+        step_per_collect=16,
+        update_per_step=0.25,
+        batch_size=16,
+        episode_per_test=2,
+        warmup_steps=64,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.gradient_step >= 4
+    # PER tree priorities must have moved off the uniform init
+    tree = np.asarray(trainer.buffer_state.tree)
+    pow2 = 1 << (200 * 4 - 1).bit_length()
+    leaves = tree[pow2 : pow2 + 200 * 4]
+    filled = leaves[leaves > 0]
+    assert filled.size > 0 and float(filled.std()) > 1e-6

@@ -231,6 +231,14 @@ class Algorithm:
         """One gradient step from a pre-sampled :meth:`presample` tuple."""
         raise NotImplementedError
 
+    def priority_scores(self, ts: TrainState, sampled: tuple):
+        """Per-sample |TD| under the (pre-update) params for PER priority
+        write-back when the update runs where the buffer is not reachable
+        (the distributed trainer's process-local write-back; reference
+        ``post_process_fn`` semantics, ``policy/base.py:480-502``).
+        Returns ``None`` when the algorithm does not support it."""
+        return None
+
     def update(
         self,
         ts: TrainState,

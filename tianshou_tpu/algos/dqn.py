@@ -164,3 +164,18 @@ class DQN(Algorithm):
             params=params, target_params=target_params, opt_state=opt_state, step=step
         )
         return ts, bstate, {"loss": loss, "td_abs_mean": td_abs.mean()}
+
+    def priority_scores(self, ts: TrainState, sampled: tuple) -> jax.Array:
+        """|TD| of the sampled batch under ``ts`` (pre-update params): the
+        quantity :meth:`update_sampled` writes into the PER tree, exposed
+        for process-local write-back in the distributed trainer."""
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        q_term = self._target_q(ts, term["obs_next"], mask)
+        target = nstep_return(rew_chain, done_chain, q_term, self.gamma)
+        q = jnp.take_along_axis(
+            self.q_values(ts.params, batch["obs"]),
+            batch["act"][:, None].astype(jnp.int32),
+            axis=-1,
+        ).squeeze(-1)
+        return jnp.abs(q - target)

@@ -1,0 +1,244 @@
+"""Multi-process off-policy trainer: the STANDARD replay pipeline, scaled.
+
+This is the distributed counterpart of :class:`OffPolicyTrainer` — not a
+side path.  The reference's distribution story plugs Ray env workers into
+the unchanged collector→buffer→update pipeline
+(``tianshou/env/worker/ray.py:1-79`` inside the stack of SURVEY.md §3.1);
+the TPU-native analog keeps the same invariant across pod hosts:
+
+- every process steps its OWN env shard with the local jitted collector and
+  writes into its OWN replay-buffer shard (HBM-local, never gathered);
+- every gradient step, each process presamples ``batch/num_processes``
+  transitions from its local shard — full n-step chains, PER
+  importance-sampling weights, frame stacks, exactly as single-host — and
+  the shards are assembled into one dp-sharded global batch
+  (:func:`host_shard_pytree`);
+- ONE ``update_sampled`` jitted over the global mesh consumes that batch;
+  params are replicated, so XLA derives the gradient all-reduce over
+  ICI and every process ends the step with identical parameters;
+- PER priority write-back happens process-locally: |TD| under the
+  pre-update params (the reference's ``post_process_fn`` semantics,
+  ``policy/base.py:480-502``) via :meth:`Algorithm.priority_scores`.
+
+Epochs, test episodes, early stopping and checkpointing run in lockstep:
+the PRNG chain that drives update/test keys is identical on every process
+(only env-reset and replay-sampling keys fold in the process index), so
+every process reaches the same stop decision without a control-plane
+broadcast.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import numpy as np
+
+from tianshou_tpu.algos.base import Algorithm, TrainState
+from tianshou_tpu.collect.collector import Collector
+from tianshou_tpu.data.buffer import ReplayBuffer
+from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+from tianshou_tpu.data.stats import InfoStats
+from tianshou_tpu.parallel.distributed import global_mesh, host_shard_pytree
+
+__all__ = ["DistributedOffPolicyTrainer"]
+
+
+class DistributedOffPolicyTrainer:
+    """SPMD off-policy training over ``jax.process_count()`` processes.
+
+    ``train_collector``/``buffer`` are this process's LOCAL shard (the
+    caller sizes them at ``total / process_count``, cf.
+    :func:`process_env_slice`); ``batch_size`` and ``step_per_collect``
+    are GLOBAL quantities, split evenly across processes.
+    """
+
+    def __init__(
+        self,
+        algo: Algorithm,
+        train_collector: Collector,
+        test_collector: Collector,
+        buffer: ReplayBuffer,
+        *,
+        max_epoch: int,
+        step_per_epoch: int,
+        step_per_collect: int,
+        update_per_step: float = 1.0,
+        batch_size: int = 64,
+        episode_per_test: int = 10,
+        train_param_fn: Callable[[int, int], float] | None = None,
+        test_param: float = 0.0,
+        stop_fn: Callable[[float], bool] | None = None,
+        warmup_steps: int = 0,
+        warmup_random: bool = True,
+        logger: Any | None = None,
+        seed: int = 0,
+        mesh=None,
+        axis_name: str = "dp",
+    ):
+        self.algo = algo
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.buffer = buffer
+        self.max_epoch = max_epoch
+        self.step_per_epoch = step_per_epoch
+        self.step_per_collect = step_per_collect
+        self.update_per_step = update_per_step
+        self.batch_size = batch_size
+        self.episode_per_test = episode_per_test
+        self.train_param_fn = train_param_fn or (lambda epoch, step: 0.0)
+        self.test_param = test_param
+        self.stop_fn = stop_fn
+        self.warmup_steps = warmup_steps
+        self.warmup_random = warmup_random
+        self.logger = logger
+        self.seed = seed
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+        assert getattr(algo, "supports_presampled", False), (
+            "DistributedOffPolicyTrainer needs the presample/update_sampled "
+            "split (algo.supports_presampled)"
+        )
+
+    def _build_global_update(self, mesh, example_transition):
+        """``(ts, sampled_global, key) -> (ts, metrics)`` jitted over the
+        global mesh.  The buffer handed to ``update_sampled`` is a dummy
+        uniform ring: inside the global step its only role is PER
+        write-back, which is process-local here (see class docstring)."""
+        algo = self.algo
+        dummy_buf = ReplayBuffer(capacity=1, num_envs=1)
+        dummy_bstate = dummy_buf.init(example_transition)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dummy_bstate = jax.device_put(dummy_bstate, NamedSharding(mesh, P()))
+
+        def step(ts, sampled, bstate, key):
+            ts, _, metrics = algo.update_sampled(
+                ts, dummy_buf, bstate, sampled, key
+            )
+            return ts, metrics
+
+        jitted = jax.jit(step)
+        return lambda ts, sampled, key: jitted(ts, sampled, dummy_bstate, key)
+
+    def run(self) -> InfoStats:
+        t_start = time.time()
+        n_proc = jax.process_count()
+        pid = jax.process_index()
+        mesh = self.mesh if self.mesh is not None else global_mesh(self.axis_name)
+        col = self.train_collector
+        local_envs = col.venv.num_envs
+        global_envs = local_envs * n_proc
+        segment_len = max(1, self.step_per_collect // global_envs)
+        steps_per_segment = segment_len * global_envs
+        updates_per_segment = max(
+            1, round(self.update_per_step * steps_per_segment)
+        )
+        batch_local = max(1, self.batch_size // n_proc)
+        is_per = isinstance(self.buffer, PrioritizedReplayBuffer)
+
+        # identical algo seed everywhere -> replicated init params; env
+        # seeds fold in the process id -> disjoint experience shards
+        key = jax.random.key(self.seed)
+        k_init, k_reset, key = jax.random.split(key, 3)
+        cstate = col.reset(jax.random.fold_in(k_reset, pid))
+        ts = self.algo.init(k_init, jax.tree.map(lambda x: x[0], cstate.obs))
+        example = col.example_transition(ts, cstate)
+        bstate = self.buffer.init(example)
+        global_update = self._build_global_update(mesh, example)
+
+        env_step = 0
+        grad_step = 0
+        best_reward, best_reward_std = -np.inf, 0.0
+        last_metrics: dict = {}
+
+        if self.warmup_steps > 0:
+            warm_len = max(1, self.warmup_steps // global_envs)
+            cstate, bstate, stats, _ = col.collect(
+                ts, cstate, bstate, warm_len, explore=True,
+                explore_param=1.0 if self.warmup_random else 0.0,
+            )
+            env_step += stats.n_collected_steps * n_proc
+
+        stop_triggered = False
+        epoch = 0
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            while steps_this_epoch < self.step_per_epoch:
+                explore_param = float(self.train_param_fn(epoch, env_step))
+                cstate, bstate, stats, _ = col.collect(
+                    ts, cstate, bstate, segment_len, explore=True,
+                    explore_param=explore_param,
+                )
+                for _ in range(updates_per_segment):
+                    key, k_u = jax.random.split(key)  # lockstep learn key
+                    k_s = jax.random.fold_in(k_u, 1 + pid)  # local sampling
+                    sampled = self.algo.presample(
+                        self.buffer, bstate, k_s, batch_local
+                    )
+                    # assemble the dp-sharded global batch from the local
+                    # shard; np.asarray pulls the local sample host-side
+                    # (the host->device feed of the env-sharded design)
+                    sampled_np = jax.tree.map(np.asarray, sampled)
+                    sampled_g = host_shard_pytree(
+                        sampled_np, mesh, self.axis_name
+                    )
+                    ts_pre = ts
+                    ts, metrics = global_update(ts, sampled_g, k_u)
+                    if is_per:
+                        scores = self.algo.priority_scores(ts_pre, sampled)
+                        assert scores is not None, (
+                            f"{type(self.algo).__name__} does not implement "
+                            "priority_scores; PER write-back would be "
+                            "silently dropped in distributed mode"
+                        )
+                        bstate = self.buffer.update_priorities(
+                            bstate, sampled[0], sampled[1], scores
+                        )
+                    grad_step += 1
+                env_step += steps_per_segment
+                steps_this_epoch += steps_per_segment
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if self.logger is not None and pid == 0:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+
+            # test phase in lockstep: identical key on every process ->
+            # identical stats -> every process takes the same branch
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts, k_test, self.episode_per_test,
+                explore=False, explore_param=self.test_param,
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+            if self.logger is not None and pid == 0:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
+        self.buffer_state = bstate
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=time.time() - t_start,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
