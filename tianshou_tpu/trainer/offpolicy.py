@@ -422,7 +422,16 @@ class OffPolicyTrainer:
             env_step += stats.n_collected_steps
 
         if self._superstep is None:
-            self._superstep = self._build_superstep()
+            # AOT (lower -> compile): identical executable to the jit
+            # dispatch path, but the compile goes through the persistent
+            # cache deterministically — on the tunneled-TPU platform the
+            # jit path has been observed to stall for minutes recompiling
+            # conv-heavy supersteps that the AOT path loads in <1s.
+            jitted = self._build_superstep()
+            compiled = jitted.lower(
+                ts, cstate, bstate, jax.random.key(0), 0.0
+            ).compile()
+            self._superstep = lambda *a: compiled(*a)
 
         stop_triggered = False
         epoch = 0
