@@ -36,11 +36,23 @@ __all__ = [
 
 
 def _to_hwc(x: jax.Array) -> jax.Array:
-    """Accept [B,H,W,C] or frame-stacked [B,S,H,W,C] (stack folded into
-    channels, the reference's frame-stack convention)."""
+    """Normalize pixel layouts to [B,H,W,C']:
+
+    - [B,H,W,C]: channels-last already (MinAtar grids; last dim <= 8);
+    - [B,S,H,W]: channel-first stack of GRAYSCALE frames — the Atari
+      buffer's stacked-gather layout (reference frame-stack is
+      channel-first, ``atari_wrapper.py:341``) — stack becomes channels;
+    - [B,S,H,W,C]: stacked multi-channel frames, stack folded into
+      channels.
+
+    The 4-D forms are disambiguated by the last axis: a channel axis is
+    small (<= 8) while a width axis is not (84 for Atari warps).
+    """
     if x.ndim == 5:
         b, s, h, w, c = x.shape
         x = jnp.moveaxis(x, 1, -2).reshape(b, h, w, s * c)
+    elif x.ndim == 4 and x.shape[-1] > 8:
+        x = jnp.moveaxis(x, 1, -1)  # [B,S,H,W] -> [B,H,W,S]
     return x
 
 
