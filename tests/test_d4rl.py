@@ -1,0 +1,120 @@
+"""D4RL-format offline ingestion (reference ``examples/offline/utils.py``):
+schema mapping, file round-trips (h5 + npz), obs normalization, and the
+offline CQL example consuming a dataset file end to end."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tianshou_tpu.data.persistence import (
+    buffer_from_d4rl,
+    normalize_obs_in_buffer,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _toy_dataset(n=64, obs_dim=3, act_dim=1):
+    rng = np.random.default_rng(0)
+    terminals = np.zeros(n, bool)
+    terminals[20] = True  # an episode boundary
+    timeouts = np.zeros(n, bool)
+    timeouts[45] = True
+    return {
+        "observations": rng.normal(size=(n, obs_dim)).astype(np.float32),
+        "actions": rng.normal(size=(n, act_dim)).astype(np.float32),
+        "rewards": rng.normal(size=n).astype(np.float64),  # d4rl uses f64
+        "terminals": terminals,
+        "timeouts": timeouts,
+        "next_observations": rng.normal(size=(n, obs_dim)).astype(np.float32),
+    }
+
+
+def test_schema_mapping_and_termination_split():
+    data = _toy_dataset()
+    buffer, state = buffer_from_d4rl(data)
+    assert int(state.size[0]) == 64 and buffer.capacity == 64
+    np.testing.assert_array_equal(
+        np.asarray(state.storage["terminated"][0]), data["terminals"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.storage["truncated"][0]), data["timeouts"]
+    )
+    assert np.asarray(state.storage["rew"]).dtype == np.float32
+    # n-step chains must stop at the terminal boundary
+    import jax
+
+    rew_chain, done_chain, term_pos = buffer.nstep_chain(
+        state, jax.numpy.zeros(1, jax.numpy.int32),
+        jax.numpy.asarray([19]), 3,
+    )
+    assert int(done_chain[0].sum()) >= 1  # crossed the episode end
+
+
+@pytest.mark.parametrize("ext", ["h5", "npz"])
+def test_file_roundtrip(tmp_path, ext):
+    import h5py
+
+    data = _toy_dataset()
+    path = str(tmp_path / f"d.{ext}")
+    if ext == "h5":
+        with h5py.File(path, "w") as f:
+            for k, v in data.items():
+                f.create_dataset(k, data=v)
+    else:
+        np.savez(path, **data)
+    buffer, state = buffer_from_d4rl(path)
+    np.testing.assert_allclose(
+        np.asarray(state.storage["obs"][0]), data["observations"], rtol=1e-6
+    )
+
+
+def test_missing_keys_rejected():
+    data = _toy_dataset()
+    del data["next_observations"]
+    with pytest.raises(AssertionError, match="missing"):
+        buffer_from_d4rl(data)
+
+
+def test_normalize_obs():
+    data = _toy_dataset(n=256)
+    _, state = buffer_from_d4rl(data)
+    state2, mean, std = normalize_obs_in_buffer(state)
+    obs = np.asarray(state2.storage["obs"][0])
+    np.testing.assert_allclose(obs.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(obs.std(0), 1.0, atol=1e-2)
+    # obs_next transformed with the SAME stats
+    expected = (data["next_observations"] - mean) / std
+    np.testing.assert_allclose(
+        np.asarray(state2.storage["obs_next"][0]), expected, rtol=1e-5
+    )
+
+
+def test_offline_example_consumes_dataset_file(tmp_path):
+    """Full product path: generate a demo dataset file, then run the CQL
+    offline example on it (tiny budget, CPU)."""
+    path = str(tmp_path / "pendulum_demo.h5")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m", "tests.make_d4rl_demo", path,
+         "--steps", "2000", "--platform", "cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(path)
+    r = subprocess.run(
+        [
+            sys.executable, "examples/offline_d4rl_cql.py", path,
+            "--platform", "cpu", "--task", "Pendulum-v1",
+            "--max-epoch", "1", "--update-per-epoch", "10",
+            "--batch-size", "32", "--hidden", "16",
+            "--normalize-obs", "--test-envs", "2",
+            "--logdir", str(tmp_path / "log"),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "CQL/Pendulum-v1" in r.stdout, r.stdout[-1500:]

@@ -21,7 +21,14 @@ from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.buffer import ReplayBufferState
 from tianshou_tpu.data.prio import PrioritizedReplayBufferState
 
-__all__ = ["save_buffer_hdf5", "load_buffer_hdf5", "save_pytree_hdf5", "load_pytree_hdf5"]
+__all__ = [
+    "save_buffer_hdf5",
+    "load_buffer_hdf5",
+    "save_pytree_hdf5",
+    "load_pytree_hdf5",
+    "buffer_from_d4rl",
+    "normalize_obs_in_buffer",
+]
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -136,3 +143,69 @@ def load_buffer_hdf5(path: str) -> ReplayBufferState:
                 beta=jnp.asarray(f["beta"][...]),
             )
         return ReplayBufferState(storage=storage, cursor=cursor, size=size)
+
+
+# -- D4RL-format ingestion ---------------------------------------------------
+#: D4RL qlearning-dataset keys -> buffer reserved keys (reference
+#: ``examples/offline/utils.py``: load_buffer_d4rl / load_buffer)
+_D4RL_KEYS = {
+    "observations": "obs",
+    "actions": "act",
+    "rewards": "rew",
+    "next_observations": "obs_next",
+}
+
+
+def buffer_from_d4rl(source) -> tuple:
+    """(ReplayBuffer, ReplayBufferState) from a D4RL qlearning dataset.
+
+    ``source`` is either a path to an HDF5/npz file in the D4RL schema
+    (``observations, actions, rewards, terminals, next_observations``
+    [, ``timeouts``]) or an in-memory mapping with those keys — the
+    counterpart of the reference's ``load_buffer_d4rl``/``load_buffer``
+    (``examples/offline/utils.py``).  ``terminals`` maps to ``terminated``
+    and ``timeouts`` (when present) to ``truncated``, preserving the
+    termination/truncation split that bootstrap masking depends on.
+    """
+    from tianshou_tpu.data.buffer import ReplayBuffer
+
+    close = None
+    if isinstance(source, (str, bytes)):
+        s = str(source)
+        if s.endswith(".npz") or s.endswith(".npy"):
+            source = np.load(s)
+        else:
+            source = h5py.File(s, "r")
+            close = source
+    try:
+        missing = [k for k in (*_D4RL_KEYS, "terminals") if k not in source]
+        assert not missing, f"not a D4RL qlearning dataset; missing {missing}"
+        data = {ours: np.asarray(source[k]) for k, ours in _D4RL_KEYS.items()}
+        terminals = np.asarray(source["terminals"]).astype(bool)
+        data["terminated"] = terminals
+        data["truncated"] = (
+            np.asarray(source["timeouts"]).astype(bool)
+            if "timeouts" in source
+            else np.zeros_like(terminals)
+        )
+        data["rew"] = data["rew"].astype(np.float32)
+    finally:
+        if close is not None:
+            close.close()
+    return ReplayBuffer.from_data(Batch(data))
+
+
+def normalize_obs_in_buffer(state: ReplayBufferState, eps: float = 1e-8):
+    """Standardize ``obs``/``obs_next`` over the whole dataset; returns
+    ``(state, mean, std)`` so the env side can apply the same transform at
+    evaluation time (reference ``normalize_all_obs_in_replay_buffer``,
+    ``examples/offline/utils.py``)."""
+    obs = np.asarray(state.storage["obs"], np.float32)
+    mean = obs.reshape(-1, obs.shape[-1]).mean(0)
+    std = np.sqrt(obs.reshape(-1, obs.shape[-1]).var(0) + eps)
+    storage = Batch(state.storage)
+    storage["obs"] = jnp.asarray((obs - mean) / std)
+    storage["obs_next"] = jnp.asarray(
+        (np.asarray(state.storage["obs_next"], np.float32) - mean) / std
+    )
+    return state.replace(storage=storage), mean, std
