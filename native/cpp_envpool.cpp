@@ -102,7 +102,7 @@ struct ThreadPool {
   std::atomic<int> pending_;
 };
 
-enum class EnvKind { kCartPole, kPendulum, kMountainCar, kAcrobot };
+enum class EnvKind { kCartPole, kPendulum, kMountainCar, kAcrobot, kReacher };
 
 struct Pool {
   EnvKind kind;
@@ -129,6 +129,10 @@ struct Pool {
         break;
       case EnvKind::kAcrobot:
         obs_dim = 6; act_dim = 0; discrete = true; state.resize(n * 4);
+        break;
+      case EnvKind::kReacher:
+        // state: [t1, t2, dt1, dt2, target_x, target_y]
+        obs_dim = 10; act_dim = 2; discrete = false; state.resize(n * 6);
         break;
     }
     t.assign(n, 0);
@@ -319,6 +323,102 @@ struct Pool {
     else std::memcpy(carry, obs, 6 * sizeof(float));
   }
 
+  // ---- Reacher (2-link planar arm, own spec) ---------------------------
+  // The expensive-simulator representative: full manipulator dynamics
+  // with a 2x2 inertia-matrix solve inside an RK4 integrator, 4 substeps
+  // per control step (16 dynamics evaluations per env step — two orders
+  // of magnitude more arithmetic than CartPole).  Spec is our own (MuJoCo
+  // Reacher-class, not byte-identical to it): links 0.1/0.11 m, torque
+  // actions in [-1, 1] scaled by 0.05 Nm, viscous joint damping, random
+  // reachable target, obs [cos q, sin q, target, qdot, fingertip-target],
+  // reward -(dist + 0.1 ||a||^2), 50-step truncation (no termination).
+  static void reacher_dsdt(const double* s, const double* tau, double* ds) {
+    constexpr double kL1 = 0.1, kL2 = 0.11;      // link lengths
+    constexpr double kM1 = 0.05, kM2 = 0.05;     // link masses
+    constexpr double kDamp = 0.01;               // viscous damping
+    const double lc1 = kL1 * 0.5, lc2 = kL2 * 0.5;
+    const double i1 = kM1 * kL1 * kL1 / 12.0, i2 = kM2 * kL2 * kL2 / 12.0;
+    double q2 = s[1], dq1 = s[2], dq2 = s[3];
+    double c2 = std::cos(q2), s2 = std::sin(q2);
+    // inertia matrix (planar horizontal arm: no gravity torques)
+    double a11 = i1 + i2 + kM1 * lc1 * lc1 +
+                 kM2 * (kL1 * kL1 + lc2 * lc2 + 2.0 * kL1 * lc2 * c2);
+    double a12 = i2 + kM2 * (lc2 * lc2 + kL1 * lc2 * c2);
+    double a22 = i2 + kM2 * lc2 * lc2;
+    // Coriolis/centrifugal
+    double h = kM2 * kL1 * lc2 * s2;
+    double c1 = -h * dq2 * dq2 - 2.0 * h * dq1 * dq2;
+    double cc2 = h * dq1 * dq1;
+    double rhs1 = tau[0] - c1 - kDamp * dq1;
+    double rhs2 = tau[1] - cc2 - kDamp * dq2;
+    double det = a11 * a22 - a12 * a12;
+    double ddq1 = (a22 * rhs1 - a12 * rhs2) / det;
+    double ddq2 = (a11 * rhs2 - a12 * rhs1) / det;
+    ds[0] = dq1; ds[1] = dq2; ds[2] = ddq1; ds[3] = ddq2;
+  }
+  void reacher_fingertip(const double* s, double* xy) {
+    constexpr double kL1 = 0.1, kL2 = 0.11;
+    xy[0] = kL1 * std::cos(s[0]) + kL2 * std::cos(s[0] + s[1]);
+    xy[1] = kL1 * std::sin(s[0]) + kL2 * std::sin(s[0] + s[1]);
+  }
+  void reacher_obs(int i, float* obs) {
+    double* s = &state[i * 6];
+    double xy[2];
+    reacher_fingertip(s, xy);
+    obs[0] = (float)std::cos(s[0]); obs[1] = (float)std::cos(s[1]);
+    obs[2] = (float)std::sin(s[0]); obs[3] = (float)std::sin(s[1]);
+    obs[4] = (float)s[4]; obs[5] = (float)s[5];
+    obs[6] = (float)s[2]; obs[7] = (float)s[3];
+    obs[8] = (float)(xy[0] - s[4]); obs[9] = (float)(xy[1] - s[5]);
+  }
+  void reacher_reset(int i, float* obs) {
+    double* s = &state[i * 6];
+    s[0] = rngs[i].uniform(-PI, PI);
+    s[1] = rngs[i].uniform(-PI, PI);
+    s[2] = rngs[i].uniform(-0.05, 0.05);
+    s[3] = rngs[i].uniform(-0.05, 0.05);
+    // rejection-sample a target inside the reachable disc (radius 0.2)
+    do {
+      s[4] = rngs[i].uniform(-0.2, 0.2);
+      s[5] = rngs[i].uniform(-0.2, 0.2);
+    } while (s[4] * s[4] + s[5] * s[5] > 0.04);
+    t[i] = 0;
+    reacher_obs(i, obs);
+  }
+  void reacher_step(int i, const float* act, float* obs, float* rew,
+                    uint8_t* term, uint8_t* trunc, float* carry) {
+    constexpr double kDt = 0.01, kGear = 0.05;
+    constexpr int kSubsteps = 4;
+    double* s = &state[i * 6];
+    double tau[2] = {
+        kGear * std::min(1.0, std::max(-1.0, (double)act[0])),
+        kGear * std::min(1.0, std::max(-1.0, (double)act[1]))};
+    double k1[4], k2[4], k3[4], k4[4], tmp[4];
+    for (int sub = 0; sub < kSubsteps; ++sub) {
+      reacher_dsdt(s, tau, k1);
+      for (int k = 0; k < 4; ++k) tmp[k] = s[k] + 0.5 * kDt * k1[k];
+      reacher_dsdt(tmp, tau, k2);
+      for (int k = 0; k < 4; ++k) tmp[k] = s[k] + 0.5 * kDt * k2[k];
+      reacher_dsdt(tmp, tau, k3);
+      for (int k = 0; k < 4; ++k) tmp[k] = s[k] + kDt * k3[k];
+      reacher_dsdt(tmp, tau, k4);
+      for (int k = 0; k < 4; ++k)
+        s[k] += kDt / 6.0 * (k1[k] + 2.0 * k2[k] + 2.0 * k3[k] + k4[k]);
+    }
+    t[i] += 1;
+    double xy[2];
+    reacher_fingertip(s, xy);
+    double dx = xy[0] - s[4], dy = xy[1] - s[5];
+    double dist = std::sqrt(dx * dx + dy * dy);
+    double ctrl = (double)act[0] * act[0] + (double)act[1] * act[1];
+    bool truncated = t[i] >= 50;
+    reacher_obs(i, obs);
+    *rew = (float)(-(dist + 0.1 * ctrl));
+    *term = 0; *trunc = truncated;
+    if (truncated) reacher_reset(i, carry);
+    else std::memcpy(carry, obs, 10 * sizeof(float));
+  }
+
   void reset_all(float* obs_out) {
     threads.run_chunks(num_envs, [&](int lo, int hi) {
       for (int i = lo; i < hi; ++i) {
@@ -328,6 +428,7 @@ struct Pool {
           case EnvKind::kPendulum: pendulum_reset(i, obs); break;
           case EnvKind::kMountainCar: mountaincar_reset(i, obs); break;
           case EnvKind::kAcrobot: acrobot_reset(i, obs); break;
+          case EnvKind::kReacher: reacher_reset(i, obs); break;
         }
       }
     });
@@ -356,6 +457,10 @@ struct Pool {
             acrobot_step(i, actions[i], obs, rew_out + i, term_out + i,
                          trunc_out + i, carry);
             break;
+          case EnvKind::kReacher:
+            reacher_step(i, actions + (size_t)i * act_dim, obs, rew_out + i,
+                         term_out + i, trunc_out + i, carry);
+            break;
         }
       }
     });
@@ -373,6 +478,7 @@ void* envpool_create(const char* name, int num_envs, uint64_t seed,
   else if (std::strcmp(name, "Pendulum-v1") == 0) kind = EnvKind::kPendulum;
   else if (std::strcmp(name, "MountainCar-v0") == 0) kind = EnvKind::kMountainCar;
   else if (std::strcmp(name, "Acrobot-v1") == 0) kind = EnvKind::kAcrobot;
+  else if (std::strcmp(name, "Reacher2") == 0) kind = EnvKind::kReacher;
   else return nullptr;
   if (num_threads <= 0)
     num_threads = std::max(1u, std::thread::hardware_concurrency() / 2);

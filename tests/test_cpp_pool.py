@@ -176,3 +176,91 @@ def test_dqn_learns_through_cpp_pool():
     )
     info = trainer.run()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_reacher_dynamics_match_python_rk4_oracle():
+    """The C++ 2-link reacher (the expensive-simulator representative)
+    against a hand-rolled Python RK4 oracle of the same manipulator
+    equations: fingertip kinematics, reward, truncation at 50."""
+    import numpy as np
+
+    from tianshou_tpu.envs.cpp_pool import CppVectorEnv
+
+    L1, L2 = 0.1, 0.11
+    M1 = M2 = 0.05
+    DAMP, GEAR, DT, SUB = 0.01, 0.05, 0.01, 4
+
+    def dsdt(s, tau):
+        lc1, lc2 = L1 / 2, L2 / 2
+        i1, i2 = M1 * L1**2 / 12, M2 * L2**2 / 12
+        q2, dq1, dq2 = s[1], s[2], s[3]
+        c2, s2 = np.cos(q2), np.sin(q2)
+        a11 = i1 + i2 + M1 * lc1**2 + M2 * (L1**2 + lc2**2 + 2 * L1 * lc2 * c2)
+        a12 = i2 + M2 * (lc2**2 + L1 * lc2 * c2)
+        a22 = i2 + M2 * lc2**2
+        h = M2 * L1 * lc2 * s2
+        c_1 = -h * dq2**2 - 2 * h * dq1 * dq2
+        c_2 = h * dq1**2
+        rhs = np.array([tau[0] - c_1 - DAMP * dq1, tau[1] - c_2 - DAMP * dq2])
+        A = np.array([[a11, a12], [a12, a22]])
+        dd = np.linalg.solve(A, rhs)
+        return np.array([dq1, dq2, dd[0], dd[1]])
+
+    def oracle_step(q, tau):
+        for _ in range(SUB):
+            k1 = dsdt(q, tau)
+            k2 = dsdt(q + 0.5 * DT * k1, tau)
+            k3 = dsdt(q + 0.5 * DT * k2, tau)
+            k4 = dsdt(q + DT * k3, tau)
+            q = q + DT / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return q
+
+    env = CppVectorEnv("Reacher2", 4, seed=11)
+    obs = env.reset()
+    # recover joint state from obs (atan2 of cos/sin + velocities)
+    q = np.stack(
+        [
+            np.arctan2(obs[:, 2], obs[:, 0]),
+            np.arctan2(obs[:, 3], obs[:, 1]),
+            obs[:, 6],
+            obs[:, 7],
+        ],
+        axis=1,
+    )
+    target = obs[:, 4:6].copy()
+    rng = np.random.default_rng(0)
+    for t in range(6):
+        act = rng.uniform(-1, 1, (4, 2)).astype(np.float32)
+        res, carry = env.step(act)
+        for i in range(4):
+            q[i] = oracle_step(q[i], GEAR * act[i].astype(np.float64))
+            tip = np.array(
+                [
+                    L1 * np.cos(q[i, 0]) + L2 * np.cos(q[i, 0] + q[i, 1]),
+                    L1 * np.sin(q[i, 0]) + L2 * np.sin(q[i, 0] + q[i, 1]),
+                ]
+            )
+            np.testing.assert_allclose(
+                res.obs[i, 8:10], tip - target[i], atol=1e-4
+            )
+            dist = np.linalg.norm(tip - target[i])
+            expected_rew = -(dist + 0.1 * float((act[i] ** 2).sum()))
+            np.testing.assert_allclose(res.reward[i], expected_rew, atol=1e-4)
+    env.close()
+
+
+def test_reacher_truncates_at_50_and_autoresets():
+    import numpy as np
+
+    from tianshou_tpu.envs.cpp_pool import CppVectorEnv
+
+    env = CppVectorEnv("Reacher2", 2, seed=5)
+    env.reset()
+    for t in range(1, 51):
+        res, carry = env.step(np.zeros((2, 2), np.float32))
+    assert res.truncated.all() and not res.terminated.any()
+    # carry obs is a fresh episode (distance-to-target differs from terminal)
+    assert not np.allclose(carry, res.obs)
+    res2, _ = env.step(np.zeros((2, 2), np.float32))
+    assert not res2.truncated.any()
+    env.close()

@@ -48,6 +48,13 @@ _SPACES = {
         ),
         Discrete(3),
     ),
+    # 2-link planar reacher (own MuJoCo-Reacher-class spec; the
+    # expensive-simulator demo: RK4 x 4 substeps of full manipulator
+    # dynamics per control step — see native/cpp_envpool.cpp)
+    "Reacher2": (
+        Box(low=-np.inf, high=np.inf, shape=(10,)),
+        Box(low=-1.0, high=1.0, shape=(2,)),
+    ),
 }
 
 
@@ -125,9 +132,13 @@ class CppVectorEnv:
         return self._obs.copy()
 
     def step(self, actions: np.ndarray) -> tuple[HostStepResult, np.ndarray]:
-        acts = np.ascontiguousarray(actions, np.float32).reshape(self.num_envs, -1)
+        # flat [num_envs * act_dim] layout (act_dim columns per env; one
+        # column for discrete/1-d actions)
+        acts = np.ascontiguousarray(
+            np.asarray(actions, np.float32).reshape(self.num_envs, -1)
+        ).reshape(-1)
         self._lib.envpool_step(
-            self._pool, acts[:, 0].copy(), self._obs, self._rew,
+            self._pool, acts, self._obs, self._rew,
             self._term, self._trunc, self._carry,
         )
         return (
