@@ -91,3 +91,56 @@ def test_async_fast_envs_not_blocked_by_slow():
         assert np.all(obs[:, 1] == e)
         np.testing.assert_allclose(obs_next[:, 0], obs[:, 0] + act)
     venv.close()
+
+
+def test_async_collector_threads_recurrent_state():
+    """Async collection with a RECURRENT policy (DRQN): per-env LSTM
+    carries advance only for dispatched envs, reset on episode end, and
+    transitions flow into the buffer — the reference AsyncCollector's
+    hidden-state threading (``data/collector.py:583-586``) on the async
+    host path."""
+    import jax.numpy as jnp
+
+    from tianshou_tpu.algos.drqn import DRQN
+    from tianshou_tpu.networks.common import RecurrentQNet
+
+    delays = [0.0005, 0.0005, 0.02, 0.02]
+    venv = AsyncHostVectorEnv(
+        [lambda i=i, d=d: SleepyCorridor(i, d, size=3) for i, d in enumerate(delays)],
+        wait_num=1,
+    )
+    algo = DRQN(
+        network=RecurrentQNet(hidden_size=16, num_actions=2),
+        action_space=Discrete(2),
+        gamma=0.9,
+        target_update_freq=10,
+    )
+    buffer = ReplayBuffer(capacity=128, num_envs=4, stack_num=2)
+    col = AsyncHostCollector(algo, venv, buffer)
+    col.reset(seed=0)
+    assert col._has_state
+    state0 = jax.tree.map(lambda x: np.asarray(x).copy(), col._policy_state)
+    ts = algo.init(jax.random.key(0), jnp.asarray(col.obs[0]))
+    ex_tr = Batch(
+        obs=np.zeros(2, np.float32), act=np.zeros((), np.int32),
+        rew=np.zeros((), np.float32), terminated=np.zeros((), bool),
+        truncated=np.zeros((), bool), obs_next=np.zeros(2, np.float32),
+    )
+    bstate = buffer.init(ex_tr)
+    bstate, stats = col.collect(
+        ts, bstate, 40, jax.random.key(1), explore=True, explore_param=0.5
+    )
+    assert stats.n_collected_steps >= 40
+    # carries moved off the zero init for at least the fast envs
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(
+            lambda a, b: np.abs(np.asarray(a) - b).sum(axis=tuple(range(1, a.ndim))),
+            col._policy_state, state0,
+        )
+    )
+    per_env_movement = np.sum(moved, axis=0)
+    assert (per_env_movement > 0).sum() >= 2, per_env_movement
+    # buffer got real transitions (corridor obs values 0..3)
+    stored = np.asarray(bstate.storage["obs"])
+    assert stored.max() <= 3.0 and int(np.asarray(bstate.size).sum()) >= 40
+    venv.close()

@@ -118,3 +118,72 @@ def test_offline_example_consumes_dataset_file(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     assert "CQL/Pendulum-v1" in r.stdout, r.stdout[-1500:]
+
+
+def test_load_reference_layout_hdf5(tmp_path):
+    """Cross-ecosystem migration: read a buffer file in the REFERENCE
+    library's ``save_hdf5`` layout (object ``__dict__`` -> root attrs +
+    ``_meta`` Batch group, ``buffer/base.py:110-113`` /
+    ``utils/converter.py:93+``; layout reproduced here byte-for-byte since
+    the reference package itself is not importable in this image)."""
+    import h5py
+    import jax
+
+    from tianshou_tpu.data.persistence import load_reference_buffer_hdf5
+
+    rng = np.random.default_rng(1)
+    maxsize, size, index = 10, 7, 3  # partially filled ring, wrapped cursor
+    obs = rng.normal(size=(maxsize, 4)).astype(np.float32)
+    path = str(tmp_path / "ref.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["maxsize"] = maxsize
+        f.attrs["_index"] = index
+        f.attrs["_size"] = size
+        f.attrs["stack_num"] = 1
+        meta = f.create_group("_meta")
+        meta.attrs["__data_type__"] = "Batch"
+        for k, v in {
+            "obs": obs,
+            "act": rng.integers(0, 2, maxsize).astype(np.int64),
+            "rew": rng.normal(size=maxsize).astype(np.float64),
+            "terminated": np.zeros(maxsize, bool),
+            "truncated": np.zeros(maxsize, bool),
+            "done": np.zeros(maxsize, bool),
+            "obs_next": rng.normal(size=(maxsize, 4)).astype(np.float32),
+        }.items():
+            d = meta.create_dataset(k, data=v)
+            d.attrs["__data_type__"] = "ndarray"
+
+    buffer, state = load_reference_buffer_hdf5(path)
+    assert buffer.capacity == maxsize
+    assert int(state.size[0]) == size and int(state.cursor[0]) == index
+    np.testing.assert_allclose(np.asarray(state.storage["obs"][0]), obs)
+    assert np.asarray(state.storage["rew"]).dtype == np.float32
+    # the loaded state samples through the normal pipeline
+    batch, env_idx, pos = buffer.sample(state, jax.random.key(0), 32)
+    assert np.asarray(batch["obs"]).shape == (32, 4)
+    # only filled slots are sampled: positions within the valid window
+    assert np.asarray(pos).max() < maxsize
+
+
+def test_load_reference_layout_old_done_only(tmp_path):
+    """Old reference files with only ``done``: done maps to terminated."""
+    import h5py
+
+    from tianshou_tpu.data.persistence import load_reference_buffer_hdf5
+
+    path = str(tmp_path / "old.h5")
+    done = np.asarray([0, 1, 0, 0], bool)
+    with h5py.File(path, "w") as f:
+        f.attrs["maxsize"] = 4
+        f.attrs["_index"] = 0
+        f.attrs["_size"] = 4
+        meta = f.create_group("_meta")
+        meta.create_dataset("obs", data=np.zeros((4, 2), np.float32))
+        meta.create_dataset("act", data=np.zeros(4, np.int64))
+        meta.create_dataset("rew", data=np.ones(4, np.float64))
+        meta.create_dataset("done", data=done)
+        meta.create_dataset("obs_next", data=np.zeros((4, 2), np.float32))
+    _, state = load_reference_buffer_hdf5(path)
+    np.testing.assert_array_equal(np.asarray(state.storage["terminated"][0]), done)
+    assert not np.asarray(state.storage["truncated"]).any()

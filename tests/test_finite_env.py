@@ -105,3 +105,63 @@ def test_second_pass_restarts_the_dataset():
     for e in envs:
         consumed.update(e.consumed)
     assert all(c == 2 for c in consumed.values()), consumed
+
+
+def test_finite_eval_collector_through_trainer_epochs():
+    """FiniteHostVectorEnv drives a TRAINER's per-epoch test phase
+    (``FiniteEvalCollector``): DQN trains on host CartPole while each
+    epoch's evaluation is one exactly-once pass over a fixed episode
+    dataset — the reference finite-env pattern inside a real training
+    loop."""
+    import gymnasium as gym
+
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.host_collector import HostCollector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.finite import FiniteEvalCollector
+    from tianshou_tpu.envs.host import HostVectorEnv
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    venv, envs, episodes = _make_sharded(length=17, num_envs=4)
+    # obs dim of the dataset env is 2; train on a matching fake env? No —
+    # train on the SAME dataset-env family so shapes agree: use a fresh
+    # infinite variant for training (cycled shards).
+    class _Cycling(_DatasetEnv):
+        def reset(self, seed=None, options=None):
+            obs, info = super().reset(seed, options)
+            if obs is None:  # restart the shard: infinite stream for train
+                return super().reset(seed, options)
+            return obs, info
+
+    train_envs = [_Cycling([(i, 4)] * 50) for i in range(4)]
+    train_venv = HostVectorEnv([lambda e=e: e for e in train_envs])
+    algo = DQN(
+        network=QNet((16,), 2), action_space=envs[0].action_space,
+        lr=1e-3, gamma=0.9, n_step=1, target_update_freq=50,
+    )
+    buffer = ReplayBuffer(capacity=200, num_envs=4)
+    trainer = OffPolicyTrainer(
+        algo,
+        HostCollector(algo, train_venv, buffer),
+        FiniteEvalCollector(algo, venv),
+        buffer,
+        max_epoch=2,
+        step_per_epoch=64,
+        step_per_collect=16,
+        update_per_step=0.25,
+        batch_size=16,
+        episode_per_test=999,  # ignored by the finite adapter
+        warmup_steps=32,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.epoch == 2
+    # each epoch ran one full pass: every episode consumed exactly twice
+    for env in envs:
+        for sample_id, _ in env.shard:
+            assert env.consumed[sample_id] == 2, (sample_id, env.consumed)
+    # reward per episode == its length (reward 1 per step): the reported
+    # best must equal the dataset's mean episode length
+    mean_len = float(np.mean([l for _, l in episodes]))
+    assert abs(info.best_reward - mean_len) < 1e-6

@@ -133,10 +133,21 @@ class AsyncHostCollector:
         if explore not in self._act_fns:
             algo = self.algo
 
-            @jax.jit
-            def act(ts, obs, key, explore_param):
-                a, _ = algo.act(ts, obs, key, explore, explore_param)
-                return a, algo.map_action(a)
+            if self._has_state:
+
+                @jax.jit
+                def act(ts, obs, pstate, key, explore_param):
+                    a, _, new_state = algo.act_with_state(
+                        ts, obs, pstate, key, explore, explore_param
+                    )
+                    return a, algo.map_action(a), new_state
+
+            else:
+
+                @jax.jit
+                def act(ts, obs, pstate, key, explore_param):
+                    a, _ = algo.act(ts, obs, key, explore, explore_param)
+                    return a, algo.map_action(a), pstate
 
             self._act_fns[explore] = act
         return self._act_fns[explore]
@@ -150,6 +161,14 @@ class AsyncHostCollector:
         # computed from (envs dispatched in different rounds differ)
         self._inflight_act = None
         self._inflight_obs = None
+        # per-env recurrent carries (LSTM etc.): advanced only for the rows
+        # actually dispatched each round, reset on episode end — the async
+        # analog of the device collector's policy_state threading
+        # (collector.py:107-152; reference AsyncCollector keeps hidden
+        # state in `self.data.state`, data/collector.py:583-586)
+        self._policy_state = self.algo.init_policy_state(self.venv.num_envs)
+        self._has_state = len(jax.tree_util.tree_leaves(self._policy_state)) > 0
+        self._act_fns.clear()
 
     def collect(
         self,
@@ -172,9 +191,19 @@ class AsyncHostCollector:
             if self._ready:
                 key, k_act = jax.random.split(key)
                 # act over the full fixed-shape batch; use only ready rows
-                _, env_act = act_fn(
-                    ts, jnp.asarray(self.obs), k_act, explore_param
+                _, env_act, new_state = act_fn(
+                    ts, jnp.asarray(self.obs), self._policy_state, k_act,
+                    explore_param,
                 )
+                if self._has_state:
+                    # advance carries ONLY for the rows being dispatched;
+                    # stale (in-flight) rows keep their pre-step carry
+                    idx = jnp.asarray(self._ready)
+                    self._policy_state = jax.tree.map(
+                        lambda old, new: old.at[idx].set(new[idx]),
+                        self._policy_state,
+                        new_state,
+                    )
                 env_act = np.asarray(env_act)
                 if self._inflight_act is None:
                     self._inflight_act = env_act.copy()
@@ -209,6 +238,14 @@ class AsyncHostCollector:
                     lens.append(int(self.ep_len[env_id]))
                     self.ep_ret[env_id] = 0
                     self.ep_len[env_id] = 0
+                    if self._has_state:
+                        # fresh episode -> zero carry for this env
+                        fresh = self.algo.init_policy_state(1)
+                        self._policy_state = jax.tree.map(
+                            lambda s, f: s.at[env_id].set(f[0]),
+                            self._policy_state,
+                            fresh,
+                        )
                 self.obs[env_id] = carry
                 self._ready.append(env_id)
             staged.append((mask, Batch(tr)))

@@ -28,6 +28,7 @@ __all__ = [
     "load_pytree_hdf5",
     "buffer_from_d4rl",
     "normalize_obs_in_buffer",
+    "load_reference_buffer_hdf5",
 ]
 
 
@@ -143,6 +144,48 @@ def load_buffer_hdf5(path: str) -> ReplayBufferState:
                 beta=jnp.asarray(f["beta"][...]),
             )
         return ReplayBufferState(storage=storage, cursor=cursor, size=size)
+
+
+def load_reference_buffer_hdf5(source) -> tuple:
+    """(ReplayBuffer, ReplayBufferState) from an HDF5 file written by the
+    REFERENCE library's ``ReplayBuffer.save_hdf5``.
+
+    The reference persists the buffer object's ``__dict__``
+    (``buffer/base.py:110-113`` via ``to_hdf5`` ``utils/converter.py:93+``):
+    scalars (``maxsize``, ``_index``, ``_size``, ``stack_num``) as root
+    attrs and the ring storage as a ``_meta`` Batch group with the
+    reserved transition keys as datasets.  This loader makes migration
+    from the reference ecosystem a one-call operation: the ring contents,
+    cursor and fill level carry over into a single-env buffer state.
+    """
+    from tianshou_tpu.data.buffer import ReplayBuffer
+
+    with h5py.File(str(source), "r") as f:
+        assert "_meta" in f, "not a reference-layout buffer file (no _meta)"
+        meta = f["_meta"]
+        storage: dict = {}
+        for k in ("obs", "act", "rew", "terminated", "truncated", "obs_next"):
+            if k in meta and isinstance(meta[k], h5py.Dataset):
+                storage[k] = jnp.asarray(np.asarray(meta[k])[None])
+        assert "obs" in storage and "act" in storage, sorted(meta.keys())
+        if "rew" in storage:
+            storage["rew"] = storage["rew"].astype(jnp.float32)
+        # terminated/truncated may be absent in very old files with only
+        # `done`; map done -> terminated in that case
+        if "terminated" not in storage and "done" in meta:
+            storage["terminated"] = jnp.asarray(np.asarray(meta["done"])[None])
+            storage["truncated"] = jnp.zeros_like(storage["terminated"])
+        maxsize = int(f.attrs["maxsize"])
+        index = int(f.attrs.get("_index", 0))
+        size = int(f.attrs.get("_size", maxsize))
+        stack_num = int(f.attrs.get("stack_num", 1))
+    buf = ReplayBuffer(capacity=maxsize, num_envs=1, stack_num=max(1, stack_num))
+    state = ReplayBufferState(
+        storage=Batch(storage),
+        cursor=jnp.asarray([index], jnp.int32),
+        size=jnp.asarray([size], jnp.int32),
+    )
+    return buf, state
 
 
 # -- D4RL-format ingestion ---------------------------------------------------

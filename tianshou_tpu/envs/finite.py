@@ -24,7 +24,11 @@ import numpy as np
 
 from tianshou_tpu.envs.host import HostStepResult, HostVectorEnv
 
-__all__ = ["FiniteHostVectorEnv", "collect_dataset_episodes"]
+__all__ = [
+    "FiniteHostVectorEnv",
+    "collect_dataset_episodes",
+    "FiniteEvalCollector",
+]
 
 
 class FiniteHostVectorEnv(HostVectorEnv):
@@ -151,3 +155,42 @@ def collect_dataset_episodes(
             ep_len[i] = 0
         obs = carry
     return np.asarray(returns), np.asarray(lens, np.int64)
+
+
+class FiniteEvalCollector:
+    """Test-collector adapter over a :class:`FiniteHostVectorEnv`: every
+    ``collect_episodes`` call runs ONE full pass of the dataset (each
+    episode exactly once) and reports its stats.
+
+    This plugs dataset-epoch evaluation into the standard trainers as the
+    ``test_collector`` — the role the reference's finite-env pattern plays
+    inside a training run (``test/base/test_env_finite.py``): per-epoch
+    evaluation over a fixed validation set instead of sampled episodes.
+    The ``n_episode`` argument is ignored by design (the dataset defines
+    the episode count); a quota would break exactly-once semantics.
+    """
+
+    def __init__(self, algo, venv: FiniteHostVectorEnv):
+        self.algo = algo
+        self.venv = venv
+
+    def collect_episodes(
+        self,
+        ts,
+        key: jax.Array,
+        n_episode: int | None = None,
+        explore: bool = False,
+        explore_param: float = 0.0,
+        **_: Any,
+    ):
+        from tianshou_tpu.collect.collector import CollectStats
+
+        returns, lens = collect_dataset_episodes(
+            self.algo, ts, self.venv, key, explore, explore_param
+        )
+        return CollectStats(
+            n_collected_steps=int(lens.sum()),
+            n_collected_episodes=int(len(returns)),
+            returns=returns,
+            lens=lens,
+        )
