@@ -263,6 +263,48 @@ def test_cli_registry_every_algo_parses_and_builds(tmp_path):
         assert alg is not None, algo
 
 
+def test_cli_offline_algo_end_to_end(tmp_path):
+    """The CLI tier drives an OFFLINE builder end to end: --algo bc
+    --dataset file.h5 trains behavior cloning from the dataset and
+    evaluates on the task env (the reference's offline examples as a
+    CLI surface)."""
+    import jax
+
+    from tianshou_tpu.algos.base import RandomPolicy
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.data.persistence import save_buffer_hdf5
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import Pendulum
+    from tianshou_tpu.highlevel.cli import experiment_cli
+
+    env = Pendulum()
+    algo = RandomPolicy(env.action_space)
+    buffer = ReplayBuffer(capacity=100, num_envs=4)
+    col = Collector(algo, VectorEnv(env, 4), buffer)
+    cstate = col.reset(jax.random.key(0))
+    ts = algo.init(jax.random.key(1), None)
+    bstate = buffer.init(col.example_transition(ts, cstate))
+    _, bstate, _, _ = col.collect(ts, cstate, bstate, 25)
+    path = str(tmp_path / "bc_data.h5")
+    save_buffer_hdf5(path, bstate)
+
+    result = experiment_cli(
+        ["--algo", "bc", "--task", "Pendulum-v1", "--dataset", path,
+         "--sampling.num_epochs", "1", "--sampling.step_per_epoch", "50",
+         "--sampling.batch_size", "32", "--sampling.num_test_envs", "2",
+         "--sampling.episode_per_test", "2", "--params.hidden_sizes", "16"]
+    )
+    assert result.info.gradient_step >= 50
+
+
+def test_cli_offline_requires_dataset():
+    from tianshou_tpu.highlevel.cli import experiment_cli
+
+    with pytest.raises(SystemExit, match="dataset"):
+        experiment_cli(["--algo", "cql", "--task", "Pendulum-v1"])
+
+
 def test_cli_tier_runs_and_overrides_fields():
     """Declarative CLI over the builders (the reference's jsonargparse
     tier, examples/*_hl.py): dataclass fields become --section.field
