@@ -146,3 +146,46 @@ def test_distributed_trainer_per_writeback_single_process():
     leaves = tree[pow2 : pow2 + 200 * 4]
     filled = leaves[leaves > 0]
     assert filled.size > 0 and float(filled.std()) > 1e-6
+
+
+def test_distributed_trainer_single_process_learns_cartpole():
+    """The distributed trainer IS a correct trainer at process_count=1:
+    DQN with n_step=3 through collect -> local replay -> presample ->
+    8-device-mesh global update learns CartPole to threshold (the
+    in-process analog of the 2-process run, cheap enough for every CI
+    pass)."""
+    import jax
+
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.trainer.distributed import DistributedOffPolicyTrainer
+
+    env = CartPole()
+    algo = DQN(
+        network=QNet(hidden_sizes=(64, 64), num_actions=2),
+        action_space=env.action_space,
+        lr=1e-3, gamma=0.9, n_step=3, target_update_freq=320,
+    )
+    buffer = ReplayBuffer(capacity=1000, num_envs=8)
+    trainer = DistributedOffPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 8), buffer),
+        Collector(algo, VectorEnv(env, 8)),
+        buffer,
+        max_epoch=4,
+        step_per_epoch=4000,
+        step_per_collect=80,
+        update_per_step=0.1,
+        batch_size=64,
+        episode_per_test=5,
+        train_param_fn=lambda epoch, step: 0.1,
+        stop_fn=lambda rew: rew >= 170,
+        warmup_steps=1000,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered and info.best_reward >= 170, info.best_reward
