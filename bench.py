@@ -203,7 +203,7 @@ def _conv_stage(name, env, encoder, num_envs, seg, batch, peak, platform,
     return line
 
 
-def main():
+def _init_jax():
     import jax
 
     # Persistent compile cache: the env var alone is not sufficient on all
@@ -212,18 +212,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
-    from tianshou_tpu.algos.dqn import DQN
-    from tianshou_tpu.envs.classic import CartPole
-    from tianshou_tpu.networks.common import QNet
-
-    t_start = time.perf_counter()
     platform = jax.devices()[0].platform
     peak = PEAK_FLOPS.get("tpu" if platform not in ("cpu",) else "cpu")
-    budget = float(os.environ.get("BENCH_CONV_BUDGET_S", "420"))
+    return platform, peak
 
-    # ---- stage 1: Atari-scale NatureCNN (MXU-bound; synthetic frames) ------
-    try:
+
+def _run_stage(stage: str) -> None:
+    """Run one conv stage and print its diagnostic line (subprocess entry)."""
+    platform, peak = _init_jax()
+    if stage == "atari":
         from tianshou_tpu.envs.synthetic import SyntheticPixelEnv
 
         line = _conv_stage(
@@ -233,14 +230,8 @@ def main():
             peak=peak, platform=platform,
             extra={"frames": "synthetic 84x84x4 uint8 (ALE absent from image)"},
         )
-        print("atari_bench: " + json.dumps(line))
-    except Exception as e:  # diagnostic; never break the headline
-        print(f"atari_bench: skipped ({type(e).__name__}: {e})")
-
-    # ---- stage 2: MinAtar Breakout ConvDQN ---------------------------------
-    try:
-        if time.perf_counter() - t_start > budget:
-            raise RuntimeError("skipped: stage budget exhausted")
+        print("atari_bench: " + json.dumps(line), flush=True)
+    elif stage == "conv":
         from tianshou_tpu.envs.minatar import make_minatar
 
         line = _conv_stage(
@@ -248,11 +239,43 @@ def main():
             make_minatar("breakout"), "minatar",
             num_envs=256, seg=32, batch=512, peak=peak, platform=platform,
         )
-        print("conv_bench: " + json.dumps(line))
-    except Exception as e:
-        print(f"conv_bench: skipped ({type(e).__name__}: {e})")
+        print("conv_bench: " + json.dumps(line), flush=True)
+
+
+def main():
+    # ---- conv stages in TIMEOUT-GUARDED subprocesses -----------------------
+    # A wall-clock budget inside one process cannot preempt a running XLA
+    # compile; running each stage in its own subprocess with a hard timeout
+    # guarantees the headline JSON line (the driver's parse contract) is
+    # always emitted, no matter how long a cold conv compile takes.
+    import subprocess
+
+    stage_timeout = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "240"))
+    for stage, tag in (("atari", "atari_bench"), ("conv", "conv_bench")):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", stage],
+                capture_output=True, text=True, timeout=stage_timeout,
+            )
+            emitted = False
+            for ln in r.stdout.splitlines():
+                if ln.startswith(tag + ":"):
+                    print(ln, flush=True)
+                    emitted = True
+            if not emitted:
+                tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
+                print(f"{tag}: skipped (rc={r.returncode} {tail})", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{tag}: skipped (timeout {stage_timeout:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"{tag}: skipped ({type(e).__name__}: {e})", flush=True)
 
     # ---- headline: MLP DQN CartPole pipeline (always runs, always last) ----
+    _init_jax()
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+
     env = CartPole()
     algo = DQN(
         network=QNet(hidden_sizes=(128, 128, 128), num_actions=2),
@@ -276,4 +299,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _run_stage(sys.argv[2])
+    else:
+        main()

@@ -32,10 +32,21 @@ def generate(steps: int = 4000, seed: int = 0) -> dict:
         ts, cstate, None, max(1, steps // n_envs), explore=True,
         record_traj=True,
     )
+    # [T, N, ...] -> [N, T, ...] -> flat: keep each env's episodes
+    # CONTIGUOUS (a plain [T, N] reshape would interleave envs and break
+    # the terminals-delimit-episodes invariant n-step/CalQL rely on)
     flat = {
-        k: np.asarray(traj[k]).reshape((-1,) + tuple(traj[k].shape[2:]))
+        k: np.asarray(traj[k])
+        .swapaxes(0, 1)
+        .reshape((-1,) + tuple(traj[k].shape[2:]))
         for k in ("obs", "act", "rew", "terminated", "truncated", "obs_next")
     }
+    # env boundaries are episode boundaries too: the last transition of
+    # each env's block ends its (possibly unfinished) episode
+    n_steps = np.asarray(traj["rew"]).shape[0]
+    block_ends = np.arange(1, n_envs + 1) * n_steps - 1
+    flat["truncated"] = flat["truncated"].copy()
+    flat["truncated"][block_ends] |= ~flat["terminated"][block_ends]
     return {
         "observations": flat["obs"].astype(np.float32),
         "actions": flat["act"].astype(np.float32),

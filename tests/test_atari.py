@@ -165,3 +165,19 @@ def test_make_atari_env_runs_dqn_segment_with_frame_dedup():
     assert np.isfinite(float(metrics["loss"]))
     train.close()
     test.close()
+
+
+def test_episodic_life_reset_survives_noop_game_over():
+    """If the lost-life no-op step itself hits game over, reset() must do
+    a REAL reset (openai-baselines guard) instead of returning a terminal
+    state (round-3 review finding)."""
+    env = EpisodicLifeEnv(FakeAtariEnv(lives=2, life_len=1, max_steps=10_000))
+    env.reset()
+    _, _, term, _, _ = env.step(0)  # lives 2 -> 1: life-loss termination
+    assert term and not env.was_real_done
+    obs, _ = env.reset()  # no-op step drains the last life -> game over
+    assert env.was_real_done  # promoted to a real done
+    assert env.env._lives == 2 and env.env._t == 0  # truly reset
+    # env is live: stepping works and reports a fresh life loss at t=1
+    _, _, term2, _, _ = env.step(0)
+    assert term2 and env.env._lives == 1

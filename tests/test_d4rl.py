@@ -187,3 +187,119 @@ def test_load_reference_layout_old_done_only(tmp_path):
     _, state = load_reference_buffer_hdf5(path)
     np.testing.assert_array_equal(np.asarray(state.storage["terminated"][0]), done)
     assert not np.asarray(state.storage["truncated"]).any()
+
+
+def test_load_reference_layout_atari_memory_flags(tmp_path):
+    """Reference Atari buffers (ignore_obs_next=True, save_only_last_obs,
+    stack_num=4: NO obs_next dataset, one frame per slot) must load with
+    the same flags so n-step sampling reconstructs stacks instead of
+    KeyError-ing (round-3 review finding)."""
+    import h5py
+    import jax
+
+    from tianshou_tpu.data.persistence import load_reference_buffer_hdf5
+
+    maxsize = 16
+    frames = np.arange(maxsize * 4 * 4, dtype=np.uint8).reshape(maxsize, 4, 4)
+    path = str(tmp_path / "atari_ref.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["maxsize"] = maxsize
+        f.attrs["_index"] = 0
+        f.attrs["_size"] = maxsize
+        opts = f.create_group("options")
+        opts.attrs["stack_num"] = 4
+        opts.attrs["ignore_obs_next"] = True
+        opts.attrs["save_only_last_obs"] = True
+        meta = f.create_group("_meta")
+        meta.create_dataset("obs", data=frames)  # single frame per slot
+        meta.create_dataset("act", data=np.zeros(maxsize, np.int64))
+        meta.create_dataset("rew", data=np.ones(maxsize, np.float64))
+        meta.create_dataset("terminated", data=np.zeros(maxsize, bool))
+        meta.create_dataset("truncated", data=np.zeros(maxsize, bool))
+        # NO obs_next dataset — the reference stores none in this mode
+
+    buffer, state = load_reference_buffer_hdf5(path)
+    assert buffer.ignore_obs_next and buffer.save_only_last_obs
+    assert buffer.stack_num == 4
+    # the full n-step sampling pipeline works on the imported state
+    batch = buffer.get(
+        state, np.zeros(8, np.int32), np.arange(4, 12), keys=("obs", "obs_next")
+    )
+    assert np.asarray(batch["obs"]).shape == (8, 4, 4, 4)  # stack rebuilt
+    assert np.asarray(batch["obs_next"]).shape == (8, 4, 4, 4)
+
+
+def test_load_any_buffer_dispatch(tmp_path):
+    """load_any_buffer routes each of the three supported layouts."""
+    import h5py
+    import jax
+
+    from tianshou_tpu.algos.base import RandomPolicy
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.data.persistence import load_any_buffer, save_buffer_hdf5
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import Pendulum
+
+    # (a) our own layout
+    env = Pendulum()
+    algo = RandomPolicy(env.action_space)
+    buf = ReplayBuffer(capacity=20, num_envs=2)
+    col = Collector(algo, VectorEnv(env, 2), buf)
+    cstate = col.reset(jax.random.key(0))
+    ts = algo.init(jax.random.key(1), None)
+    bstate = buf.init(col.example_transition(ts, cstate))
+    _, bstate, _, _ = col.collect(ts, cstate, bstate, 5)
+    own = str(tmp_path / "own.h5")
+    save_buffer_hdf5(own, bstate)
+    b, st = load_any_buffer(own)
+    assert b.num_envs == 2 and int(np.asarray(st.size).sum()) == 10
+
+    # (b) D4RL layout
+    d4 = str(tmp_path / "d4.h5")
+    with h5py.File(d4, "w") as f:
+        for k, v in _toy_dataset(64).items():
+            f.create_dataset(k, data=v)
+    b, st = load_any_buffer(d4)
+    assert b.capacity == 64
+
+    # (c) reference layout
+    ref = str(tmp_path / "ref.h5")
+    with h5py.File(ref, "w") as f:
+        f.attrs["maxsize"] = 4
+        f.attrs["_index"] = 0
+        f.attrs["_size"] = 4
+        meta = f.create_group("_meta")
+        meta.create_dataset("obs", data=np.zeros((4, 2), np.float32))
+        meta.create_dataset("act", data=np.zeros(4, np.int64))
+        meta.create_dataset("rew", data=np.ones(4, np.float64))
+        meta.create_dataset("done", data=np.zeros(4, bool))
+        meta.create_dataset("obs_next", data=np.zeros((4, 2), np.float32))
+    b, st = load_any_buffer(ref)
+    assert b.capacity == 4
+
+    # (d) junk layout is rejected with a clear error
+    junk = str(tmp_path / "junk.h5")
+    with h5py.File(junk, "w") as f:
+        f.create_dataset("whatever", data=np.zeros(3))
+    with pytest.raises(ValueError, match="unrecognized buffer layout"):
+        load_any_buffer(junk)
+
+
+def test_demo_dataset_episode_contiguity(tmp_path):
+    """make_d4rl_demo must emit env-contiguous episodes: within each env's
+    block, terminals/timeouts delimit episodes and every block ends closed
+    (round-3 review finding: a [T,N] reshape interleaves envs)."""
+    from tests.make_d4rl_demo import generate
+
+    data = generate(steps=400, seed=0)
+    obs = data["observations"]
+    done = data["terminals"] | data["timeouts"]
+    n = len(obs)
+    # Pendulum truncates at 200: done rows must be spaced <= 200 apart
+    done_idx = np.flatnonzero(done)
+    assert done_idx.size >= n // 200 - 1
+    gaps = np.diff(np.concatenate([[-1], done_idx]))
+    assert gaps.max() <= 200, gaps.max()
+    # the dataset tail is closed (last row of the last env block is done)
+    assert done[-1]

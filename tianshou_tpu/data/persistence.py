@@ -29,6 +29,7 @@ __all__ = [
     "buffer_from_d4rl",
     "normalize_obs_in_buffer",
     "load_reference_buffer_hdf5",
+    "load_any_buffer",
 ]
 
 
@@ -178,8 +179,25 @@ def load_reference_buffer_hdf5(source) -> tuple:
         maxsize = int(f.attrs["maxsize"])
         index = int(f.attrs.get("_index", 0))
         size = int(f.attrs.get("_size", maxsize))
-        stack_num = int(f.attrs.get("stack_num", 1))
-    buf = ReplayBuffer(capacity=maxsize, num_envs=1, stack_num=max(1, stack_num))
+        # the reference stores its memory options as attrs of an
+        # ``options`` group (converter.py: ints/bools become group attrs)
+        opts = f["options"].attrs if "options" in f else f.attrs
+        stack_num = int(opts.get("stack_num", f.attrs.get("stack_num", 1)))
+        # reference Atari buffers are saved with ignore_obs_next=True (no
+        # obs_next dataset at all) and save_only_last_obs=True (one frame
+        # per slot); the rebuilt buffer must carry the same flags so
+        # sampling reconstructs obs_next/stacks instead of KeyError-ing
+        ignore_obs_next = "obs_next" not in storage
+        save_only_last_obs = bool(
+            opts.get("save_only_last_obs", False)
+        ) or (stack_num > 1 and ignore_obs_next)
+    buf = ReplayBuffer(
+        capacity=maxsize,
+        num_envs=1,
+        stack_num=max(1, stack_num),
+        save_only_last_obs=save_only_last_obs,
+        ignore_obs_next=ignore_obs_next,
+    )
     state = ReplayBufferState(
         storage=Batch(storage),
         cursor=jnp.asarray([index], jnp.int32),
@@ -236,6 +254,38 @@ def buffer_from_d4rl(source) -> tuple:
         if close is not None:
             close.close()
     return ReplayBuffer.from_data(Batch(data))
+
+
+def load_any_buffer(path: str) -> tuple:
+    """(ReplayBuffer, ReplayBufferState) from ANY supported dataset file:
+
+    - this framework's :func:`save_buffer_hdf5` layout (``storage`` group),
+    - the reference library's ``save_hdf5`` layout (``_meta`` group),
+    - a D4RL qlearning dataset (``observations``/... keys, .h5 or .npz).
+
+    The single entry point behind ``--dataset`` in the high-level/CLI tier
+    so migration from either ecosystem is one flag.
+    """
+    from tianshou_tpu.data.buffer import ReplayBuffer
+
+    s = str(path)
+    if s.endswith(".npz") or s.endswith(".npy"):
+        return buffer_from_d4rl(s)
+    with h5py.File(s, "r") as f:
+        keys = set(f.keys())
+    if "storage" in keys:
+        state = load_buffer_hdf5(s)
+        buf = ReplayBuffer(capacity=state.capacity, num_envs=state.num_envs)
+        return buf, state
+    if "_meta" in keys:
+        return load_reference_buffer_hdf5(s)
+    if "observations" in keys:
+        return buffer_from_d4rl(s)
+    raise ValueError(
+        f"{path}: unrecognized buffer layout (expected a 'storage' group, "
+        f"a reference '_meta' group, or D4RL qlearning keys; found "
+        f"{sorted(keys)[:8]})"
+    )
 
 
 def normalize_obs_in_buffer(state: ReplayBufferState, eps: float = 1e-8):

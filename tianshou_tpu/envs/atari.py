@@ -135,9 +135,14 @@ class EpisodicLifeEnv:
         if self.was_real_done:
             obs, info = self.env.reset(**kwargs)
         else:
-            # no-op step to advance past the lost-life state
-            step_result = self.env.step(0)
-            obs, info = step_result[0], step_result[-1]
+            # no-op step to advance past the lost-life state; if that very
+            # step ends the underlying episode (game over / time limit on
+            # the no-op frame), a real reset is required — otherwise the
+            # env is left in a terminal state (openai-baselines guard)
+            obs, _, term, trunc, info = self.env.step(0)
+            if term or trunc:
+                obs, info = self.env.reset(**kwargs)
+                self.was_real_done = True
         self.lives = self.env.unwrapped.ale.lives()
         return obs, info
 

@@ -172,14 +172,13 @@ class Experiment:
                 save_checkpoint(ckpt_dir, ts)
 
         if self.trainer_kind == "offline":
-            from tianshou_tpu.data.persistence import load_buffer_hdf5
+            # layout-dispatched: our own HDF5, the reference library's
+            # save_hdf5 layout, or a D4RL qlearning dataset all load here
+            from tianshou_tpu.data.persistence import load_any_buffer
             from tianshou_tpu.trainer.offline import OfflineTrainer
 
             assert self.offline_data_path is not None
-            bstate = load_buffer_hdf5(self.offline_data_path)
-            buffer = ReplayBuffer(
-                capacity=bstate.capacity, num_envs=bstate.num_envs
-            )
+            buffer, bstate = load_any_buffer(self.offline_data_path)
             test_col = (
                 Collector(algo, envs.test_venv)
                 if envs.backend == "jax"
@@ -399,8 +398,8 @@ class DQNExperimentBuilder(ExperimentBuilder):
     trainer_kind = "offpolicy"
 
     def with_dqn_params(self, params: DQNParams):
-        self.params = params
-        return self
+        # alias of the uniform with_params (kept for API compat)
+        return self.with_params(params)
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.dqn import DQN
@@ -486,8 +485,8 @@ class PPOExperimentBuilder(ExperimentBuilder):
     trainer_kind = "onpolicy"
 
     def with_ppo_params(self, params: PPOParams):
-        self.params = params
-        return self
+        # alias of the uniform with_params (kept for API compat)
+        return self.with_params(params)
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.ppo import PPO
@@ -508,8 +507,8 @@ class A2CExperimentBuilder(ExperimentBuilder):
     trainer_kind = "onpolicy"
 
     def with_a2c_params(self, params: OnPolicyParams):
-        self.params = params
-        return self
+        # alias of the uniform with_params (kept for API compat)
+        return self.with_params(params)
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.a2c import A2C
@@ -623,8 +622,8 @@ class SACExperimentBuilder(ExperimentBuilder):
     trainer_kind = "offpolicy"
 
     def with_sac_params(self, params: SACParams):
-        self.params = params
-        return self
+        # alias of the uniform with_params (kept for API compat)
+        return self.with_params(params)
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.sac import SAC
@@ -694,8 +693,8 @@ class TD3ExperimentBuilder(ExperimentBuilder):
     trainer_kind = "offpolicy"
 
     def with_td3_params(self, params: TD3Params):
-        self.params = params
-        return self
+        # alias of the uniform with_params (kept for API compat)
+        return self.with_params(params)
 
     def _make_algo(self, envs: Environments) -> Algorithm:
         from tianshou_tpu.algos.ddpg import TD3

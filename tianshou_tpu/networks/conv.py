@@ -35,24 +35,29 @@ __all__ = [
 ]
 
 
-def _to_hwc(x: jax.Array) -> jax.Array:
+def _to_hwc(x: jax.Array, layout: str = "auto") -> jax.Array:
     """Normalize pixel layouts to [B,H,W,C']:
 
-    - [B,H,W,C]: channels-last already (MinAtar grids; last dim <= 8);
+    - [B,H,W,C]: channels-last already (MinAtar grids);
     - [B,S,H,W]: channel-first stack of GRAYSCALE frames — the Atari
       buffer's stacked-gather layout (reference frame-stack is
       channel-first, ``atari_wrapper.py:341``) — stack becomes channels;
     - [B,S,H,W,C]: stacked multi-channel frames, stack folded into
       channels.
 
-    The 4-D forms are disambiguated by the last axis: a channel axis is
-    small (<= 8) while a width axis is not (84 for Atari warps).
+    ``layout`` disambiguates the two 4-D forms: ``"hwc"`` (channels
+    last), ``"chw"`` (channel/stack first), or ``"auto"`` — a channel
+    axis is small (<= 8) while a width axis is not (84 for Atari warps),
+    so auto treats ``last dim > 8`` as channel-first.  Pass the explicit
+    layout for channels-last inputs with more than 8 feature planes.
     """
     if x.ndim == 5:
         b, s, h, w, c = x.shape
         x = jnp.moveaxis(x, 1, -2).reshape(b, h, w, s * c)
-    elif x.ndim == 4 and x.shape[-1] > 8:
-        x = jnp.moveaxis(x, 1, -1)  # [B,S,H,W] -> [B,H,W,S]
+    elif x.ndim == 4:
+        chw = layout == "chw" or (layout == "auto" and x.shape[-1] > 8)
+        if chw:
+            x = jnp.moveaxis(x, 1, -1)  # [B,S,H,W] -> [B,H,W,S]
     return x
 
 
@@ -66,10 +71,11 @@ class MinAtarCNN(nn.Module):
     hidden: int = 128
     channels: int = 16
     compute_dtype: jnp.dtype | None = jnp.bfloat16
+    layout: str = "auto"  # see _to_hwc
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = _to_hwc(x).astype(self.compute_dtype or jnp.float32)
+        x = _to_hwc(x, self.layout).astype(self.compute_dtype or jnp.float32)
         x = nn.Conv(self.channels, (3, 3), dtype=self.compute_dtype)(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
@@ -82,10 +88,11 @@ class NatureCNN(nn.Module):
 
     hidden: int = 512
     compute_dtype: jnp.dtype | None = jnp.bfloat16
+    layout: str = "auto"  # see _to_hwc
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = _to_hwc(x).astype(self.compute_dtype or jnp.float32)
+        x = _to_hwc(x, self.layout).astype(self.compute_dtype or jnp.float32)
         for ch, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
             x = nn.Conv(ch, (k, k), strides=(s, s), padding="VALID",
                         dtype=self.compute_dtype)(x)

@@ -154,6 +154,9 @@ class DistributedOffPolicyTrainer:
         grad_step = 0
         best_reward, best_reward_std = -np.inf, 0.0
         last_metrics: dict = {}
+        # PER write-back path, jitted once (an eager recompute would
+        # dispatch the whole target forward op by op per gradient step)
+        prio_fn = jax.jit(self.algo.priority_scores) if is_per else None
 
         if self.warmup_steps > 0:
             warm_len = max(1, self.warmup_steps // global_envs)
@@ -189,7 +192,7 @@ class DistributedOffPolicyTrainer:
                     ts_pre = ts
                     ts, metrics = global_update(ts, sampled_g, k_u)
                     if is_per:
-                        scores = self.algo.priority_scores(ts_pre, sampled)
+                        scores = prio_fn(ts_pre, sampled)
                         assert scores is not None, (
                             f"{type(self.algo).__name__} does not implement "
                             "priority_scores; PER write-back would be "
@@ -212,14 +215,27 @@ class DistributedOffPolicyTrainer:
                         env_step,
                     )
 
-            # test phase in lockstep: identical key on every process ->
-            # identical stats -> every process takes the same branch
+            # test phase: every process evaluates with the SAME key, then
+            # the per-process means are all-gathered and averaged so every
+            # process proceeds from IDENTICAL numbers.  With deterministic
+            # (pure-JAX) test envs the gather is a no-op equality check;
+            # with nondeterministic host envs it is what prevents one
+            # process stopping while another enters the next collective
+            # (a silent multi-host hang).
             key, k_test = jax.random.split(key)
             test_stats = self.test_collector.collect_episodes(
                 ts, k_test, self.episode_per_test,
                 explore=False, explore_param=self.test_param,
             )
             rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                gathered = multihost_utils.process_allgather(
+                    np.asarray([rew, rew_std], np.float64)
+                )
+                rew = float(np.mean(gathered[..., 0]))
+                rew_std = float(np.mean(gathered[..., 1]))
             if rew > best_reward:
                 best_reward, best_reward_std = rew, rew_std
             if self.logger is not None and pid == 0:
