@@ -80,7 +80,10 @@ class OfflineTrainer:
         # the reference's process_buffer hook, cql.py:214-233)
         if hasattr(self.algo, "prepare_offline"):
             bstate = self.algo.prepare_offline(self.buffer, bstate)
-        superstep = self._build_superstep()
+        # AOT compile (persistent-cache-deterministic; see OffPolicyTrainer)
+        jitted = self._build_superstep()
+        compiled = jitted.lower(ts, bstate, jax.random.key(0)).compile()
+        superstep = lambda *a: compiled(*a)
 
         grad_step = 0
         best_reward, best_reward_std = -np.inf, 0.0

@@ -305,7 +305,13 @@ class OnPolicyTrainer:
         ts = self.algo.init(k_init, jax.tree.map(lambda x: x[0], cstate.obs))
 
         if self._superstep is None:
-            self._superstep = self._build_superstep()
+            # AOT (lower -> compile) instead of jit dispatch: identical
+            # executable, but the compile goes through the persistent
+            # cache deterministically (the jit path has been observed to
+            # stall minutes on conv-heavy programs via the tunneled chip)
+            jitted = self._build_superstep()
+            compiled = jitted.lower(ts, cstate, jax.random.key(0)).compile()
+            self._superstep = lambda *a: compiled(*a)
 
         env_step = 0
         grad_step = 0
