@@ -373,3 +373,50 @@ def test_test_in_train_early_stop():
     assert info.stop_triggered
     assert info.best_reward >= 150
     assert info.env_step < 50000  # stopped inside the first epoch
+
+
+def test_tree_packer_roundtrip_exact():
+    """TreePacker: fixed-schema pytrees round-trip exactly through the one
+    flat float32 buffer (bools, int32 < 2**24, float32; float64 canonical-
+    izes to float32 like a direct device_put would)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.utils.transfer import TreePacker
+
+    rng = np.random.default_rng(0)
+    example = Batch(
+        obs=rng.normal(size=(4, 3)).astype(np.float32),
+        act=rng.integers(0, 5, (4,)).astype(np.int32),
+        done=rng.integers(0, 2, (4,)).astype(bool),
+        f64=rng.normal(size=(2,)),  # float64 -> float32 canonicalization
+    )
+    p = TreePacker(example)
+    flat = p.pack(example)
+    assert flat.dtype == np.float32 and flat.shape == (4 * 3 + 4 + 4 + 2,)
+    out = jax.jit(p.unpack)(jnp.asarray(flat))
+    np.testing.assert_array_equal(np.asarray(out["obs"]), example["obs"])
+    np.testing.assert_array_equal(np.asarray(out["act"]), example["act"])
+    np.testing.assert_array_equal(np.asarray(out["done"]), example["done"])
+    assert np.asarray(out["act"]).dtype == np.int32
+    assert np.asarray(out["done"]).dtype == bool
+    np.testing.assert_allclose(
+        np.asarray(out["f64"]), example["f64"].astype(np.float32), rtol=0
+    )
+    # a second pack with different values reuses the schema
+    ex2 = jax.tree.map(lambda x: np.zeros_like(x), example)
+    np.testing.assert_array_equal(p.pack(ex2), np.zeros_like(flat))
+
+
+def test_tree_packer_int_edge_values():
+    """int32 values near the float32-exactness bound survive; the docstring
+    contract (< 2**24 exact) holds at the boundary."""
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.utils.transfer import TreePacker
+
+    vals = np.asarray([0, 1, 2**20, 2**24 - 1, -(2**24 - 1)], np.int32)
+    ex = Batch(v=vals)
+    p = TreePacker(ex)
+    out = p.unpack(p.pack(ex))
+    np.testing.assert_array_equal(np.asarray(out["v"]), vals)
