@@ -128,3 +128,77 @@ def test_sharded_training_improves():
         ts, cstate, bstate, outputs, metrics = superstep(ts, cstate, bstate, k, 0.1)
     stats = trainer.test_collector.collect_episodes(ts, jax.random.key(9), 10)
     assert stats.returns_mean >= 120, f"mean={stats.returns_mean}"
+
+
+def test_dryrun_multichip_two_axis_mesh():
+    """The driver-facing dryrun executes end to end on the 8-device CPU
+    mesh, including the dp x ep phase (env axis data-parallel + SAC
+    critic ensemble sharded over the second mesh axis)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_ensemble_sharded_update_matches_replicated():
+    """Ensemble parallelism is a pure layout change: one SAC update with
+    critic [K,...] leaves sharded over 'ep' must produce numerically
+    identical parameters to the fully replicated run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.algos.sac import SAC
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import Pendulum
+    from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+    from tianshou_tpu.parallel.mesh import (
+        make_mesh2,
+        replicate,
+        shard_ensemble_axis,
+        shard_leading_axis,
+    )
+
+    env = Pendulum()
+    sac = SAC(
+        actor=GaussianActor((16, 16), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((16, 16), num_critics=2),
+        action_space=env.action_space,
+    )
+    buffer = ReplayBuffer(capacity=32, num_envs=8)
+    col = Collector(sac, VectorEnv(env, 8), buffer)
+    cstate = col.reset(jax.random.key(0))
+    ts0 = sac.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
+    bstate = buffer.init(col.example_transition(ts0, cstate))
+    cstate, bstate, _, _ = col.collect(ts0, cstate, bstate, 8)
+
+    def one_update(ts, bst):
+        ts, _, metrics = sac.update(ts, buffer, bst, jax.random.key(7), 16)
+        return ts, metrics
+
+    # replicated baseline
+    ts_a, m_a = jax.jit(one_update)(ts0, bstate)
+    # ensemble-sharded run
+    mesh = make_mesh2(8, second_size=2)
+    ts_s = replicate(ts0, mesh)
+    ts_s = ts_s.replace(
+        critic_params=shard_ensemble_axis(ts_s.critic_params, mesh, 2),
+        target_critic_params=shard_ensemble_axis(
+            ts_s.target_critic_params, mesh, 2
+        ),
+        critic_opt_state=shard_ensemble_axis(ts_s.critic_opt_state, mesh, 2),
+    )
+    bst_s = shard_leading_axis(bstate, mesh)
+    ts_b, m_b = jax.jit(one_update)(ts_s, bst_s)
+
+    np.testing.assert_allclose(
+        float(m_a["critic_loss"]), float(m_b["critic_loss"]), rtol=1e-5
+    )
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(ts_a.critic_params),
+        jax.tree_util.tree_leaves(ts_b.critic_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-5, atol=1e-6
+        )

@@ -18,7 +18,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_leading_axis", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_mesh2",
+    "shard_leading_axis",
+    "shard_ensemble_axis",
+    "replicate",
+]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
@@ -28,15 +34,59 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh2(
+    n_devices: int | None = None,
+    second_size: int = 2,
+    axis_names: tuple[str, str] = ("dp", "ep"),
+) -> Mesh:
+    """2-axis mesh ``(n/second_size, second_size)``: data parallelism on
+    the first axis plus a second model axis — ensemble parallelism for
+    critic ensembles (the natural "model-parallel" dimension of this
+    domain, SURVEY.md §2.4 EnsembleLinear row), or tensor parallelism if a
+    network's hidden axis is annotated over it."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % second_size == 0, (n, second_size)
+    return Mesh(
+        np.asarray(devices).reshape(n // second_size, second_size), axis_names
+    )
+
+
 def shard_leading_axis(tree: Any, mesh: Mesh, axis_name: str = "dp") -> Any:
     """Place a pytree on the mesh, sharding leaves whose leading dim is
-    divisible by the mesh size along axis 0, replicating the rest
-    (cursors of size [N] shard; scalars and PRNG keys replicate)."""
-    n = mesh.devices.size
+    divisible by the ``axis_name`` mesh-axis size along axis 0,
+    replicating the rest (cursors of size [N] shard; scalars and PRNG
+    keys replicate)."""
+    n = mesh.shape[axis_name]
 
     def _place(x):
         arr = jax.numpy.asarray(x)
         if arr.ndim >= 1 and arr.shape[0] % n == 0 and arr.shape[0] > 0:
+            spec = P(axis_name, *([None] * (arr.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_place, tree)
+
+
+def shard_ensemble_axis(
+    tree: Any, mesh: Mesh, ensemble_size: int, axis_name: str = "ep"
+) -> Any:
+    """Shard leaves whose LEADING dim equals ``ensemble_size`` over the
+    ``axis_name`` mesh axis, replicating everything else — ensemble
+    parallelism for ``CriticEnsemble``-style ``[K, ...]`` parameter and
+    optimizer-state pytrees (each mesh slice holds its own critics; the
+    min/mean over critics in the loss becomes the only cross-slice
+    collective, inserted by XLA)."""
+    size = mesh.shape[axis_name]
+    assert ensemble_size % size == 0, (ensemble_size, size)
+
+    def _place(x):
+        arr = jax.numpy.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] == ensemble_size:
             spec = P(axis_name, *([None] * (arr.ndim - 1)))
         else:
             spec = P()
