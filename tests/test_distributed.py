@@ -189,3 +189,57 @@ def test_distributed_trainer_single_process_learns_cartpole():
     )
     info = trainer.run()
     assert info.stop_triggered and info.best_reward >= 170, info.best_reward
+
+
+def test_distributed_per_priority_scores_distributional():
+    """priority_scores for the distributional family: C51 recomputes its
+    cross-entropy priority, QRDQN its quantile |TD| (matching what their
+    update_sampled writes back); IQN/FQF decline loudly instead of
+    inheriting a wrong quantity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.algos.c51 import C51
+    from tianshou_tpu.algos.qrdqn import FQF, IQN, QRDQN
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.networks.discrete import C51Net, QRDQNNet
+
+    env = CartPole()
+
+    def filled(algo):
+        buf = ReplayBuffer(capacity=64, num_envs=4)
+        col = Collector(algo, VectorEnv(env, 4), buf)
+        cstate = col.reset(jax.random.key(0))
+        ts = algo.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
+        bst = buf.init(col.example_transition(ts, cstate))
+        _, bst, _, _ = col.collect(ts, cstate, bst, 16)
+        return buf, bst, ts
+
+    c51 = C51(C51Net((32,), 2, num_atoms=17), env.action_space,
+              num_atoms=17, n_step=2)
+    buf, bst, ts = filled(c51)
+    sampled = c51.presample(buf, bst, jax.random.key(2), 8)
+    scores = c51.priority_scores(ts, sampled)
+    assert scores.shape == (8,) and bool(jnp.all(scores >= 0))
+    # cross-entropy against the projected target, NOT a q-space |TD|:
+    # must match update_sampled's write-back quantity for non-noisy nets
+    from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+
+    pbuf = PrioritizedReplayBuffer(capacity=64, num_envs=4)
+    pbst = pbuf.init(jax.tree.map(lambda x: x, sampled[3]))  # schema only
+
+    qr = QRDQN(QRDQNNet((32,), 2, num_quantiles=8), env.action_space,
+               num_quantiles=8, n_step=2)
+    buf, bst, ts = filled(qr)
+    sampled = qr.presample(buf, bst, jax.random.key(3), 8)
+    scores = qr.priority_scores(ts, sampled)
+    assert scores.shape == (8,) and bool(jnp.all(scores >= 0))
+
+    from tianshou_tpu.networks.discrete import ImplicitQuantileNetwork
+
+    iqn = IQN(ImplicitQuantileNetwork((32,), 2), env.action_space)
+    assert iqn.priority_scores(None, None) is None

@@ -167,6 +167,37 @@ class C51(DQN):
         )
         return ts, bstate, {"loss": loss}
 
+    def priority_scores(self, ts, sampled):
+        """Per-sample cross-entropy under ``ts`` — C51's PER priority
+        (what :meth:`update_sampled` writes back), recomputed noise-free
+        for process-local write-back in the distributed trainer.  For
+        noisy (Rainbow) nets this uses deterministic weights instead of
+        the update's noise sample — a documented approximation (the
+        reference uses the learn step's own noisy forward)."""
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        returns, discount = nstep_return_components(
+            rew_chain, done_chain, self.gamma
+        )
+        k = jax.random.key(0)
+        p_target = self.probs(ts.target_params, term["obs_next"], k, noisy=False)
+        if self.is_double:
+            q_online = self.q_from_probs(
+                self.probs(ts.params, term["obs_next"], k, noisy=False)
+            )
+            a_star = jnp.argmax(q_online, axis=-1)
+        else:
+            a_star = jnp.argmax(self.q_from_probs(p_target), axis=-1)
+        p_star = jnp.take_along_axis(
+            p_target, a_star[:, None, None], axis=1
+        ).squeeze(1)
+        m = self._project(p_star, returns, discount, mask)
+        p = self.probs(ts.params, batch["obs"], k, noisy=False)
+        p_a = jnp.take_along_axis(
+            p, batch["act"].astype(jnp.int32)[:, None, None], axis=1
+        ).squeeze(1)
+        return -(m * jnp.log(jnp.clip(p_a, 1e-8))).sum(axis=-1)
+
 
 class Rainbow(C51):
     """C51 + noisy networks (+ PER and n-step via buffer/config), the

@@ -134,10 +134,41 @@ class QRDQN(DQN):
         ts = self._finish_update(ts, (loss, grads))
         return ts, bstate, {"loss": loss}
 
+    def priority_scores(self, ts, sampled):
+        """Per-sample quantile |TD| under ``ts`` — the same quantity
+        :meth:`update_sampled` writes into the PER tree, recomputed for
+        process-local write-back in the distributed trainer."""
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
+        theta_t = self.quantiles(ts.target_params, term["obs_next"])
+        if self.is_double:
+            a_star = jnp.argmax(self.q_values(ts.params, term["obs_next"]), axis=-1)
+        else:
+            a_star = jnp.argmax(theta_t.mean(axis=-1), axis=-1)
+        theta_star = jnp.take_along_axis(
+            theta_t, a_star[:, None, None], axis=1
+        ).squeeze(1)
+        target = returns[:, None] + (discount * mask)[:, None] * theta_star
+        tau_hats = jnp.broadcast_to(
+            self.tau_hats, (returns.shape[0], self.num_quantiles)
+        )
+        theta = self.quantiles(ts.params, batch["obs"])
+        theta_a = jnp.take_along_axis(
+            theta, batch["act"].astype(jnp.int32)[:, None, None], axis=1
+        ).squeeze(1)
+        _, td_abs = quantile_huber_loss(theta_a, target, tau_hats)
+        return td_abs
+
 
 class IQN(QRDQN):
     """Implicit quantile networks: fractions are sampled per forward
     (reference ``iqn.py:297``)."""
+
+    def priority_scores(self, ts, sampled):
+        # IQN's per-sample loss depends on the update's sampled fractions;
+        # the QRDQN fixed-midpoint recompute would be a DIFFERENT quantity,
+        # so distributed-PER write-back is explicitly unsupported (the
+        # trainer raises loudly) rather than silently approximated.
+        return None
 
     def __init__(
         self,
@@ -231,6 +262,12 @@ class FQF(QRDQN):
     """Fully-parameterized quantile function (reference ``fqf.py:27``):
     learned fraction proposals with their own optimizer and entropy
     regularization."""
+
+    def priority_scores(self, ts, sampled):
+        # priorities depend on the learned fraction proposals inside the
+        # update; see IQN.priority_scores for why this is explicitly
+        # unsupported rather than approximated.
+        return None
 
     def __init__(
         self,
