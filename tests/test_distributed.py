@@ -243,3 +243,51 @@ def test_distributed_per_priority_scores_distributional():
 
     iqn = IQN(ImplicitQuantileNetwork((32,), 2), env.action_space)
     assert iqn.priority_scores(None, None) is None
+
+
+def test_priority_scores_exact_for_sampling_targets():
+    """For algorithms whose targets SAMPLE (SAC next-actions), passing the
+    update's key into priority_scores reproduces BIT-EXACTLY the priority
+    update_sampled writes into its own PER tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.algos.sac import SAC
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import Pendulum
+    from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+
+    env = Pendulum()
+    sac = SAC(
+        actor=GaussianActor((16, 16), 1, conditioned_sigma=True),
+        critic=CriticEnsemble((16, 16), num_critics=2),
+        action_space=env.action_space,
+    )
+    buf = PrioritizedReplayBuffer(capacity=64, num_envs=2, alpha=0.7)
+    col = Collector(sac, VectorEnv(env, 2), buf)
+    cstate = col.reset(jax.random.key(0))
+    ts = sac.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
+    bst = buf.init(col.example_transition(ts, cstate))
+    _, bst, _, _ = col.collect(ts, cstate, bst, 20)
+
+    k_s, k_u = jax.random.split(jax.random.key(9))
+    sampled = sac.presample(buf, bst, k_s, 16)
+    env_idx, pos = sampled[0], sampled[1]
+    _, bst2, _ = sac.update_sampled(ts, buf, bst, sampled, k_u)
+    scores = sac.priority_scores(ts, sampled, k_u)
+
+    # compare at slots whose LAST write is unambiguous (unique indices)
+    flat = np.asarray(env_idx) * 64 + np.asarray(pos)
+    pow2 = 1 << (64 * 2 - 1).bit_length()
+    tree = np.asarray(bst2.tree)
+    vals, seen = [], set()
+    expected = []
+    for i in range(len(flat)):
+        if list(flat).count(flat[i]) == 1:
+            vals.append(tree[pow2 + flat[i]])
+            expected.append(float(scores[i]) ** 0.7)
+    assert len(vals) >= 8
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(expected), rtol=1e-5)

@@ -231,12 +231,18 @@ class Algorithm:
         """One gradient step from a pre-sampled :meth:`presample` tuple."""
         raise NotImplementedError
 
-    def priority_scores(self, ts: TrainState, sampled: tuple):
-        """Per-sample |TD| under the (pre-update) params for PER priority
+    def priority_scores(self, ts: TrainState, sampled: tuple, key=None):
+        """Per-sample priority under the (pre-update) params for PER
         write-back when the update runs where the buffer is not reachable
         (the distributed trainer's process-local write-back; reference
         ``post_process_fn`` semantics, ``policy/base.py:480-502``).
-        Returns ``None`` when the algorithm does not support it."""
+
+        ``key`` is the SAME key the update step consumed; implementations
+        that sample inside their target computation (SAC next-actions, TD3
+        smoothing noise, REDQ subsets, noisy nets) mirror the update's key
+        splits so the recomputed priority is bit-identical to what
+        ``update_sampled`` writes back locally.  Returns ``None`` when the
+        algorithm does not support it."""
         return None
 
     def update(

@@ -167,23 +167,25 @@ class C51(DQN):
         )
         return ts, bstate, {"loss": loss}
 
-    def priority_scores(self, ts, sampled):
+    def priority_scores(self, ts, sampled, key=None):
         """Per-sample cross-entropy under ``ts`` — C51's PER priority
-        (what :meth:`update_sampled` writes back), recomputed noise-free
-        for process-local write-back in the distributed trainer.  For
-        noisy (Rainbow) nets this uses deterministic weights instead of
-        the update's noise sample — a documented approximation (the
-        reference uses the learn step's own noisy forward)."""
+        (what :meth:`update_sampled` writes back).  With the update's
+        ``key`` the noisy-net forwards mirror the update's key splits
+        exactly; without one, deterministic weights are used (noise-free
+        approximation)."""
         env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         returns, discount = nstep_return_components(
             rew_chain, done_chain, self.gamma
         )
-        k = jax.random.key(0)
-        p_target = self.probs(ts.target_params, term["obs_next"], k, noisy=False)
+        noisy = key is not None
+        k_n1, k_n2 = (
+            jax.random.split(key) if noisy else (jax.random.key(0),) * 2
+        )
+        p_target = self.probs(ts.target_params, term["obs_next"], k_n1, noisy=noisy)
         if self.is_double:
             q_online = self.q_from_probs(
-                self.probs(ts.params, term["obs_next"], k, noisy=False)
+                self.probs(ts.params, term["obs_next"], k_n2, noisy=noisy)
             )
             a_star = jnp.argmax(q_online, axis=-1)
         else:
@@ -192,7 +194,7 @@ class C51(DQN):
             p_target, a_star[:, None, None], axis=1
         ).squeeze(1)
         m = self._project(p_star, returns, discount, mask)
-        p = self.probs(ts.params, batch["obs"], k, noisy=False)
+        p = self.probs(ts.params, batch["obs"], k_n2, noisy=noisy)
         p_a = jnp.take_along_axis(
             p, batch["act"].astype(jnp.int32)[:, None, None], axis=1
         ).squeeze(1)

@@ -187,6 +187,20 @@ class DDPG(Algorithm):
         ts, aloss = self._maybe_update_actor(ts, batch)
         return ts, bstate, {"critic_loss": closs, "actor_loss": aloss}
 
+    def priority_scores(self, ts: ACTrainState, sampled: tuple, key=None):
+        """Mean-over-critics |TD| under ``ts`` — what :meth:`update_sampled`
+        writes back.  With the update's ``key`` the target computation
+        (TD3 smoothing noise) mirrors the update exactly."""
+        if key is None:
+            key = jax.random.key(0)
+        k_tgt = key  # update_sampled uses the whole key as k_tgt
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        q_term = self._target_q(ts, term["obs_next"], mask, k_tgt)
+        target = nstep_return(rew_chain, done_chain, q_term, self.gamma)
+        q = self.critic.apply(ts.critic_params, batch["obs"], batch["act"])
+        return jnp.abs(q - target[None, :]).mean(axis=0)
+
     def _maybe_update_actor(self, ts: ACTrainState, batch):
         return self._update_actor(ts, batch)
 

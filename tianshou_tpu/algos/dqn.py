@@ -165,10 +165,11 @@ class DQN(Algorithm):
         )
         return ts, bstate, {"loss": loss, "td_abs_mean": td_abs.mean()}
 
-    def priority_scores(self, ts: TrainState, sampled: tuple) -> jax.Array:
+    def priority_scores(self, ts: TrainState, sampled: tuple, key=None) -> jax.Array:
         """|TD| of the sampled batch under ``ts`` (pre-update params): the
         quantity :meth:`update_sampled` writes into the PER tree, exposed
-        for process-local write-back in the distributed trainer."""
+        for process-local write-back in the distributed trainer.
+        Deterministic — ``key`` is unused."""
         env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
         mask = 1.0 - term["terminated"].astype(jnp.float32)
         q_term = self._target_q(ts, term["obs_next"], mask)

@@ -134,7 +134,7 @@ class QRDQN(DQN):
         ts = self._finish_update(ts, (loss, grads))
         return ts, bstate, {"loss": loss}
 
-    def priority_scores(self, ts, sampled):
+    def priority_scores(self, ts, sampled, key=None):
         """Per-sample quantile |TD| under ``ts`` — the same quantity
         :meth:`update_sampled` writes into the PER tree, recomputed for
         process-local write-back in the distributed trainer."""
@@ -163,7 +163,7 @@ class IQN(QRDQN):
     """Implicit quantile networks: fractions are sampled per forward
     (reference ``iqn.py:297``)."""
 
-    def priority_scores(self, ts, sampled):
+    def priority_scores(self, ts, sampled, key=None):
         # IQN's per-sample loss depends on the update's sampled fractions;
         # the QRDQN fixed-midpoint recompute would be a DIFFERENT quantity,
         # so distributed-PER write-back is explicitly unsupported (the
@@ -263,7 +263,7 @@ class FQF(QRDQN):
     learned fraction proposals with their own optimizer and entropy
     regularization."""
 
-    def priority_scores(self, ts, sampled):
+    def priority_scores(self, ts, sampled, key=None):
         # priorities depend on the learned fraction proposals inside the
         # update; see IQN.priority_scores for why this is explicitly
         # unsupported rather than approximated.

@@ -136,3 +136,29 @@ class REDQ(SAC):
         return ts, bstate, {
             "critic_loss": closs, "alpha": jnp.exp(log_alpha)
         }
+
+    def priority_scores(self, ts, sampled, key=None):
+        """Mean-over-ensemble |TD| against the random-subset target under
+        ``ts``; with the update's ``key`` the next-action sample and the
+        critic subset mirror the update's splits exactly."""
+        if key is None:
+            key = jax.random.key(0)
+        k_tgt, _, k_sub = jax.random.split(key, 3)  # mirror update_sampled
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        alpha = jnp.exp(ts.log_alpha)
+        a_next, logp_next = self._sample_with_log_prob(
+            ts.actor_params, term["obs_next"], k_tgt
+        )
+        q_all = self.critic.apply(ts.target_critic_params, term["obs_next"], a_next)
+        subset = jax.random.permutation(k_sub, self.ensemble_size)[
+            : self.subset_size
+        ]
+        q_sub = q_all[subset]
+        q_next = (
+            q_sub.min(axis=0) if self.target_mode == "min" else q_sub.mean(axis=0)
+        )
+        q_term = (q_next - alpha * logp_next) * mask
+        target = nstep_return(rew_chain, done_chain, q_term, self.gamma)
+        q = self.critic.apply(ts.critic_params, batch["obs"], batch["act"])
+        return jnp.abs(q - target[None, :]).mean(axis=0)

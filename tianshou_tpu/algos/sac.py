@@ -196,6 +196,27 @@ class SAC(Algorithm):
             "alpha_loss": alpha_loss,
         }
 
+    def priority_scores(self, ts, sampled, key=None):
+        """Mean-over-critics |TD| against the entropy-regularized target
+        under ``ts``; with the update's ``key`` the next-action sample
+        mirrors the update's ``k_tgt`` split exactly."""
+        if key is None:
+            key = jax.random.key(0)
+        k_tgt, _ = jax.random.split(key)  # mirror update_sampled
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        alpha = jnp.exp(ts.log_alpha)
+        a_next, logp_next = self._sample_with_log_prob(
+            ts.actor_params, term["obs_next"], k_tgt
+        )
+        q_next = self.critic.apply(
+            ts.target_critic_params, term["obs_next"], a_next
+        ).min(axis=0)
+        q_term = (q_next - alpha * logp_next) * mask
+        target = nstep_return(rew_chain, done_chain, q_term, self.gamma)
+        q = self.critic.apply(ts.critic_params, batch["obs"], batch["act"])
+        return jnp.abs(q - target[None, :]).mean(axis=0)
+
 
 class DiscreteSAC(Algorithm):
     """SAC over categorical policies (reference ``discrete_sac.py:26``):
@@ -352,3 +373,22 @@ class DiscreteSAC(Algorithm):
             "alpha": jnp.exp(log_alpha),
             "alpha_loss": alpha_loss,
         }
+
+    def priority_scores(self, ts, sampled, key=None):
+        """Mean-over-critics |TD| against the expectation-based soft
+        target under ``ts`` (deterministic; ``key`` unused)."""
+        env_idx, pos, weight, batch, rew_chain, done_chain, term = sampled
+        mask = 1.0 - term["terminated"].astype(jnp.float32)
+        alpha = jnp.exp(ts.log_alpha)
+        logits_next = self.actor.apply(ts.actor_params, term["obs_next"])
+        pi_next = jax.nn.softmax(logits_next, axis=-1)
+        logpi_next = jax.nn.log_softmax(logits_next, axis=-1)
+        q_next = self.critic.apply(ts.target_critic_params, term["obs_next"]).min(
+            axis=0
+        )
+        v_next = (pi_next * (q_next - alpha * logpi_next)).sum(axis=-1)
+        target = nstep_return(rew_chain, done_chain, v_next * mask, self.gamma)
+        act_idx = batch["act"].astype(jnp.int32)
+        q_all = self.critic.apply(ts.critic_params, batch["obs"])
+        q = jnp.take_along_axis(q_all, act_idx[None, :, None], axis=-1).squeeze(-1)
+        return jnp.abs(q - target[None, :]).mean(axis=0)

@@ -192,7 +192,10 @@ class DistributedOffPolicyTrainer:
                     ts_pre = ts
                     ts, metrics = global_update(ts, sampled_g, k_u)
                     if is_per:
-                        scores = prio_fn(ts_pre, sampled)
+                        # same key as the update: algorithms that sample
+                        # inside their target mirror the update's splits,
+                        # making the recomputed priority exact
+                        scores = prio_fn(ts_pre, sampled, k_u)
                         assert scores is not None, (
                             f"{type(self.algo).__name__} does not implement "
                             "priority_scores; PER write-back would be "
