@@ -88,7 +88,12 @@ class DistributedOffPolicyTrainer:
         self.update_per_step = update_per_step
         self.batch_size = batch_size
         self.episode_per_test = episode_per_test
-        self.train_param_fn = train_param_fn or (lambda epoch, step: 0.0)
+        # same default as OffPolicyTrainer: the algorithm's own
+        # exploration noise unless a schedule is given
+        if train_param_fn is None:
+            default_param = float(getattr(algo, "exploration_noise", 0.0))
+            train_param_fn = lambda epoch, step: default_param
+        self.train_param_fn = train_param_fn
         self.test_param = test_param
         self.stop_fn = stop_fn
         self.warmup_steps = warmup_steps

@@ -132,7 +132,15 @@ class OffPolicyTrainer:
         self.update_per_step = update_per_step
         self.batch_size = batch_size
         self.episode_per_test = episode_per_test
-        self.train_param_fn = train_param_fn or (lambda epoch, step: 0.0)
+        # Default explore-param: the ALGORITHM's own exploration noise
+        # (DDPG/TD3 carry sigma; the reference attaches noise to the
+        # policy, ddpg.py:214-224).  A bare 0.0 default silently disabled
+        # Gaussian exploration for deterministic-actor algorithms whenever
+        # the caller didn't pass a schedule (round-3 TD3 parity regression).
+        if train_param_fn is None:
+            default_param = float(getattr(algo, "exploration_noise", 0.0))
+            train_param_fn = lambda epoch, step: default_param
+        self.train_param_fn = train_param_fn
         self.test_param = test_param
         self.stop_fn = stop_fn
         self.warmup_steps = warmup_steps
