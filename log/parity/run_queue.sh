@@ -10,6 +10,6 @@ run td3_hc_s0  python examples/mujoco_td3.py --algo td3 --seed 0 --logdir log/pa
 run ddpg_hc_s0 python examples/mujoco_td3.py --algo ddpg --seed 0 --logdir log/parity/ddpg_hc_s0
 run td3_hc_s1  python examples/mujoco_td3.py --algo td3 --seed 1 --logdir log/parity/td3_hc_s1
 run ddpg_hc_s1 python examples/mujoco_td3.py --algo ddpg --seed 1 --logdir log/parity/ddpg_hc_s1
-run td3_hc_s2  python examples/mujoco_td3.py --algo td3 --seed 2 --logdir log/parity/td3_hc_s2
-run ddpg_hc_s2 python examples/mujoco_td3.py --algo ddpg --seed 2 --logdir log/parity/ddpg_hc_s2
+#dropped_s2_for_schedule xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx
+#dropped_s2_for_schedule xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx
 echo "=== QUEUE COMPLETE $(date +%H:%M:%S)" >> log/parity/queue.log

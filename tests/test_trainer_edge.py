@@ -126,3 +126,59 @@ def test_second_run_starts_fresh():
     info1 = tr.run()
     info2 = tr.run()
     assert info2.env_step == info1.env_step
+
+
+def test_default_train_param_is_algo_exploration_noise():
+    """Regression: with no train_param_fn, the off-policy trainers default
+    the explore param to the ALGORITHM's own exploration noise — a bare
+    0.0 silently disabled Gaussian exploration for deterministic actors
+    (TD3 HalfCheetah plateaued at half the reference return)."""
+    import jax
+
+    from tianshou_tpu.algos.ddpg import TD3
+    from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole, Pendulum
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.networks.continuous import CriticEnsemble, DeterministicActor
+    from tianshou_tpu.trainer.distributed import DistributedOffPolicyTrainer
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    env = Pendulum()
+    td3 = TD3(
+        DeterministicActor((16,), 1),
+        CriticEnsemble((16,), num_critics=2),
+        env.action_space,
+        exploration_noise=0.25,
+    )
+    buf = ReplayBuffer(capacity=16, num_envs=2)
+
+    def mk(trainer_cls):
+        return trainer_cls(
+            td3, Collector(td3, VectorEnv(env, 2), buf),
+            Collector(td3, VectorEnv(env, 2)), buf,
+            max_epoch=1, step_per_epoch=4, step_per_collect=2,
+        )
+
+    assert mk(OffPolicyTrainer).train_param_fn(1, 0) == 0.25
+    assert mk(DistributedOffPolicyTrainer).train_param_fn(1, 0) == 0.25
+    # explicit schedules still win
+    t = OffPolicyTrainer(
+        td3, Collector(td3, VectorEnv(env, 2), buf),
+        Collector(td3, VectorEnv(env, 2)), buf,
+        max_epoch=1, step_per_epoch=4, step_per_collect=2,
+        train_param_fn=lambda e, s: 0.05,
+    )
+    assert t.train_param_fn(1, 0) == 0.05
+    # eps-greedy algos without exploration_noise keep the 0.0 default
+    denv = CartPole()
+    dqn = DQN(network=QNet((16,), 2), action_space=denv.action_space)
+    dbuf = ReplayBuffer(capacity=16, num_envs=2)
+    t2 = OffPolicyTrainer(
+        dqn, Collector(dqn, VectorEnv(denv, 2), dbuf),
+        Collector(dqn, VectorEnv(denv, 2)), dbuf,
+        max_epoch=1, step_per_epoch=4, step_per_collect=2,
+    )
+    assert t2.train_param_fn(1, 0) == 0.0
