@@ -10,7 +10,7 @@ gym = pytest.importorskip("gymnasium")
 from tianshou_tpu.algos.dqn import DQN
 from tianshou_tpu.collect.host_collector import HostCollector
 from tianshou_tpu.data.buffer import ReplayBuffer
-from tianshou_tpu.envs.host import HostVectorEnv, NormObsHostVectorEnv
+from tianshou_tpu.envs.host import HostVectorEnv, NormObsHostVectorEnv, space_from_gym
 from tianshou_tpu.envs.spaces import Discrete
 from tianshou_tpu.networks.common import QNet
 from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
@@ -117,3 +117,42 @@ def test_host_dqn_cartpole_learns():
     train_venv.close()
     test_venv.close()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def test_host_collect_random_uniform_warmup():
+    """collect(random=True): actions are sampled UNIFORMLY from the action
+    space, bypassing the policy (the reference's random warm-up) — raw
+    actions span [-1,1] for Box even though the untrained actor wouldn't,
+    and env actions are the affine map of the raw ones."""
+    import gymnasium as gym
+
+    from tianshou_tpu.algos.ddpg import DDPG
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.networks.continuous import CriticEnsemble, DeterministicActor
+
+    make = lambda: gym.make("Pendulum-v1")
+    venv = HostVectorEnv([make for _ in range(4)])
+    act_space = space_from_gym(venv.action_space)
+    algo = DDPG(
+        DeterministicActor((16,), 1),
+        CriticEnsemble((16,), num_critics=1),
+        act_space,
+    )
+    buffer = ReplayBuffer(capacity=128, num_envs=4)
+    col = HostCollector(algo, venv, buffer)
+    col.reset(seed=0)
+    ts = algo.init(jax.random.key(0), jax.numpy.asarray(col.obs[0]))
+    _, _, traj = col.collect(
+        ts, None, 1, jax.random.key(1), record_traj=True
+    )
+    example = jax.tree.map(lambda x: jax.numpy.asarray(x)[0, 0], traj)
+    bstate = buffer.init(example)
+    bstate, stats, traj = col.collect(
+        ts, bstate, 60, jax.random.key(2), random=True, record_traj=True
+    )
+    acts = np.asarray(traj["act"]).reshape(-1)
+    # uniform over [-1, 1]: full span and roughly uniform quartiles
+    assert acts.min() < -0.8 and acts.max() > 0.8
+    hist, _ = np.histogram(acts, bins=4, range=(-1, 1))
+    assert (hist > len(acts) * 0.1).all(), hist
+    venv.close()

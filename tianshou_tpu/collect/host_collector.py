@@ -155,11 +155,43 @@ class HostCollector:
         explore: bool = True,
         explore_param: float = 0.0,
         record_traj: bool = False,
+        random: bool = False,
     ):
         """Collect ``num_steps`` steps per env.  Returns
-        ``(bstate, stats, traj_or_None)``."""
+        ``(bstate, stats, traj_or_None)``.
+
+        ``random=True`` bypasses the policy and samples actions UNIFORMLY
+        from the action space (the reference's ``collect(random=True)``
+        warm-up, ``collector.py:266`` / ``mujoco_*.py start_timesteps``) —
+        for deterministic actors this differs materially from acting with
+        large exploration noise around an untrained policy."""
         assert self.obs is not None, "call reset() first"
         act_fn = self._act_fn(explore)
+        rng = None
+        if random:
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(key)).ravel()
+            )
+            space = self.algo.action_space
+            from tianshou_tpu.envs.spaces import Box as _Box
+
+            if isinstance(space, _Box):
+                lo = np.asarray(space.low_arr())
+                hi = np.asarray(space.high_arr())
+
+                def sample_random(n):
+                    # raw policy-space action in [-1, 1]; env action via
+                    # the same affine map map_action applies
+                    u = rng.uniform(-1.0, 1.0, (n,) + space.shape).astype(
+                        np.float32
+                    )
+                    return u, lo + (u + 1.0) * 0.5 * (hi - lo)
+
+            else:
+
+                def sample_random(n):
+                    a = rng.integers(0, space.n, (n,)).astype(np.int32)
+                    return a, a
         # device->host transfers are the cost floor of the host loop (one
         # tunnel round trip each): with act_on_host, params sync to the CPU
         # backend ONCE per segment and per-step acting never touches the
@@ -172,11 +204,15 @@ class HostCollector:
         dev_extras: list = []
         returns, lens = [], []
         for t in range(num_steps):
-            key, k_act = jax.random.split(key)
-            raw_act, env_act, extras = act_fn(
-                ts, self._device_obs(self.obs, act_dev), k_act, explore_param
-            )
-            env_act_np = np.asarray(env_act)
+            if random:
+                raw_act, env_act_np = sample_random(self.venv.num_envs)
+                extras = Batch()
+            else:
+                key, k_act = jax.random.split(key)
+                raw_act, env_act, extras = act_fn(
+                    ts, self._device_obs(self.obs, act_dev), k_act, explore_param
+                )
+                env_act_np = np.asarray(env_act)
             res, carry = self.venv.step(env_act_np)
             done = res.terminated | res.truncated
             self._accumulate_rew(res.reward)

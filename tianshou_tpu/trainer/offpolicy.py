@@ -262,9 +262,11 @@ class OffPolicyTrainer:
         if self.warmup_steps > 0:
             warm_len = max(1, self.warmup_steps // col.venv.num_envs)
             key, k_warm = jax.random.split(key)
+            # reference warm-up semantics: UNIFORM random actions
+            # (collect(random=True)), not noisy policy actions
             bstate, stats, _ = col.collect(
                 ts, bstate, warm_len, k_warm, explore=True,
-                explore_param=1.0 if self.warmup_random else 0.0,
+                explore_param=0.0, random=self.warmup_random,
             )
             env_step += stats.n_collected_steps
 
