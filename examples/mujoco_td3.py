@@ -32,9 +32,10 @@ def main():
     p.add_argument("--start-timesteps", type=int, default=25000)
     p.add_argument("--exploration-noise", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--no-pipeline", action="store_true",
-                   help="strictly sequential collect/update (no one-segment "
-                        "acting-parameter staleness)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlap env stepping with device updates (one "
+                        "segment of acting-parameter staleness; destabilizes "
+                        "TD3 — see docs/PERFORMANCE.md)")
     p.add_argument("--logdir", default=None)
     args = p.parse_args()
 
@@ -106,7 +107,7 @@ def main():
         warmup_steps=args.start_timesteps,
         seed=args.seed,
         logger=logger,
-        pipeline_host_updates=not args.no_pipeline,
+        pipeline_host_updates=args.pipeline,
     )
     t0 = time.time()
     info = trainer.run()

@@ -120,7 +120,7 @@ class OffPolicyTrainer:
         show_progress: bool = False,
         profile_dir: str | None = None,
         smooth_window: int = 1,
-        pipeline_host_updates: bool = True,
+        pipeline_host_updates: bool = False,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -157,8 +157,12 @@ class OffPolicyTrainer:
         # host path: overlap env stepping of segment s+1 with the device
         # update scan of segment s (double-buffered feed, the role of the
         # reference's shmem/EnvPool pipelining, env/worker/subproc.py:34-76).
-        # Costs one extra segment of policy-parameter staleness during
-        # collection; set False for strictly sequential reference semantics.
+        # Costs one segment of acting-parameter staleness during
+        # collection.  DEFAULT OFF (strictly sequential reference
+        # semantics): the staleness measurably destabilizes TD3's delayed
+        # deterministic actor (HalfCheetah seed 0: 1977 pipelined vs 9911
+        # sequential, log/parity/td3_hc_s0*), while SAC/DDPG tolerate it —
+        # opt in for throughput when the algorithm is robust to it.
         self.pipeline_host_updates = pipeline_host_updates
         self._superstep = None
 
