@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tianshou_tpu.algos.base import Algorithm, TrainState
-from tianshou_tpu.collect.collector import CollectState, Collector
+from tianshou_tpu.collect.collector import CollectState, Collector, CollectStats
+from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from tianshou_tpu.data.stats import InfoStats
 from tianshou_tpu.collect.collector import rollout_segment
@@ -121,6 +122,7 @@ class OffPolicyTrainer:
         profile_dir: str | None = None,
         smooth_window: int = 1,
         pipeline_host_updates: bool = False,
+        fused_fine_host: bool | None = None,
     ):
         self.algo = algo
         self.train_collector = train_collector
@@ -164,6 +166,9 @@ class OffPolicyTrainer:
         # sequential, log/parity/td3_hc_s0*), while SAC/DDPG tolerate it —
         # opt in for throughput when the algorithm is robust to it.
         self.pipeline_host_updates = pipeline_host_updates
+        # fused fine-grained host cycle (see _build_fused_cycle): None=auto
+        # (on whenever applicable), False=never, True=require
+        self.fused_fine_host = fused_fine_host
         self._superstep = None
 
         num_envs = train_collector.venv.num_envs
@@ -195,6 +200,136 @@ class OffPolicyTrainer:
             return ts, cstate, bstate, outputs, metrics
 
         return jax.jit(superstep, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def _fused_fine_applicable(self, traj) -> bool:
+        """The fused fine-grained cycle applies when each collect segment is
+        ONE step per env (``step_per_collect == num_envs``), collection is
+        strictly sequential, observations are flat arrays and the policy
+        emits no per-step extras (recurrent state would need round-tripping).
+        """
+        if self.fused_fine_host is False:
+            return False
+        return (
+            self.segment_len == 1
+            and not self.pipeline_host_updates
+            and not isinstance(self.train_collector.obs, dict)
+            and "policy" not in traj
+            and self.train_collector.reward_metric is None
+        )
+
+    def _build_fused_cycle(self):
+        """Build the fused fine-grained host cycle: ONE jitted program per
+        collect/update cycle that (a) writes the previous transition batch
+        into the device ring buffer, (b) runs the k-update scan, and (c)
+        computes the NEXT action with the freshly updated parameters.
+
+        This is the reference's 1-update-per-env-step regime
+        (``mujoco_sac.py`` ``step_per_collect=1``) made affordable over a
+        high-latency accelerator link: the host blocks once per cycle on the
+        action fetch (~1 RTT) instead of paying separate round trips for the
+        acting-parameter sync, the trajectory upload and the update dispatch
+        (docs/PERFORMANCE.md round-4 host-path notes).  Semantics are
+        strictly sequential — actions always come from the post-update
+        parameters, exactly like the reference's collect -> update loop.
+        """
+        algo, buffer = self.algo, self.buffer
+        updates_fn = build_update_scan(
+            algo, buffer, self.batch_size, self.updates_per_segment
+        )
+        from tianshou_tpu.utils.transfer import TreePacker
+
+        packer: dict = {}
+
+        def cycle(ts, bstate, flat, raw_act, base_key, ctr, explore_param):
+            h = packer["p"].unpack(flat)
+            traj = Batch(
+                obs=h["obs"][None],
+                act=raw_act[None],
+                rew=h["rew"][None],
+                terminated=h["terminated"][None],
+                truncated=h["truncated"][None],
+                obs_next=h["obs_next"][None],
+            )
+            bstate = buffer.add_trajectory(bstate, traj)
+            k = jax.random.fold_in(base_key, ctr)
+            k_u, k_act = jax.random.split(k)
+            ts, bstate, metrics = updates_fn(ts, bstate, k_u)
+            a, _ = algo.act(ts, h["carry"], k_act, True, explore_param)
+            return ts, bstate, a, algo.map_action(a), metrics
+
+        def act_only(ts, obs, base_key, ctr, explore_param):
+            k = jax.random.fold_in(base_key, ctr)
+            _, k_act = jax.random.split(k)
+            a, _ = algo.act(ts, obs, k_act, True, explore_param)
+            return a, algo.map_action(a)
+
+        # NOT donating ts: freshly initialized train states alias buffers
+        # (target params == params), and donating an aliased pytree is a
+        # runtime error ("attempt to donate the same buffer twice")
+        jit_cycle = jax.jit(cycle, donate_argnums=(1,))
+        jit_act = jax.jit(act_only)
+        accel = jax.devices()[0]
+
+        class Engine:
+            """Per-run state of the fused loop (current raw action stays
+            device-resident between cycles; only the env action is fetched)."""
+
+            def __init__(eng):
+                eng.raw_act = None
+                eng.env_act_np = None
+                eng.base_key = None
+
+            def prime(eng, ts, seed, ctr, explore_param):
+                eng.base_key = jax.device_put(
+                    jax.random.key(np.uint32(seed) ^ np.uint32(0xF05ED)), accel
+                )
+                col = self.train_collector
+                obs_dev = jax.device_put(np.asarray(col.obs), accel)
+                eng.raw_act, env_act = jit_act(
+                    ts, obs_dev, eng.base_key, ctr, explore_param
+                )
+                eng.env_act_np = np.asarray(env_act)
+
+            def segment(eng, ts, bstate, ctr, explore_param):
+                col = self.train_collector
+                res, carry = col.venv.step(eng.env_act_np)
+                done = res.terminated | res.truncated
+                col._accumulate_rew(res.reward)
+                col.ep_len += 1
+                returns, lens = [], []
+                if done.any():
+                    returns = col._episode_metric(col.ep_ret[done]).tolist()
+                    lens = col.ep_len[done].tolist()
+                    col.ep_ret[done] = 0
+                    col.ep_len[done] = 0
+                h = {
+                    "obs": np.asarray(col.obs),
+                    "rew": res.reward,
+                    "terminated": res.terminated,
+                    "truncated": res.truncated,
+                    "obs_next": res.obs,
+                    "carry": carry,
+                }
+                col.obs = carry
+                if "p" not in packer:
+                    packer["p"] = TreePacker(h)
+                flat = jax.device_put(packer["p"].pack(h), accel)
+                ts, bstate, eng.raw_act, env_act, metrics = jit_cycle(
+                    ts, bstate, flat, eng.raw_act, eng.base_key, ctr,
+                    explore_param,
+                )
+                # the ONLY forced device sync of the cycle
+                eng.env_act_np = np.asarray(env_act)
+                stats = CollectStats(
+                    n_collected_steps=col.venv.num_envs,
+                    n_collected_episodes=len(returns),
+                    returns=np.asarray(returns),
+                    lens=np.asarray(lens, np.int64),
+                )
+                return ts, bstate, metrics, stats
+
+        return Engine()
 
     # ------------------------------------------------------------------
     def _build_host_step(self):
@@ -274,7 +409,10 @@ class OffPolicyTrainer:
             )
             env_step += stats.n_collected_steps
 
-        host_step = self._build_host_step()
+        fused = self._fused_fine_applicable(traj)
+        self.last_run_used_fused = fused
+        engine = self._build_fused_cycle() if fused else None
+        host_step = None if fused else self._build_host_step()
         stop_triggered = False
         epoch = 0
         # Pipelined feed: ``ts_act`` holds the params the collector acts
@@ -310,24 +448,37 @@ class OffPolicyTrainer:
                 steps_this_epoch = 0
                 while steps_this_epoch < self.step_per_epoch:
                     explore_param = float(self.train_param_fn(epoch, env_step))
-                    key, k_u = jax.random.split(key)
-                    key_c_chain, k_c = jax.random.split(key_c_chain)
-                    _, stats, traj = col.collect(
-                        ts_act, None, self.segment_len, k_c,
-                        explore=True, explore_param=explore_param,
-                        record_traj=True,
-                    )
-                    if metrics is not None and seg_count % metrics_interval == 0:
-                        vals = np.asarray(
-                            jnp.stack(list(metrics.values()))
+                    if fused:
+                        if engine.env_act_np is None:
+                            engine.prime(ts, self.seed, seg_count, explore_param)
+                        if metrics is not None and seg_count % metrics_interval == 0:
+                            vals = np.asarray(jnp.stack(list(metrics.values())))
+                            last_metrics = self.smooth(
+                                dict(zip(metrics.keys(), vals.tolist()))
+                            )
+                        seg_count += 1
+                        ts, bstate, metrics, stats = engine.segment(
+                            ts, bstate, seg_count, explore_param
                         )
-                        last_metrics = self.smooth(
-                            dict(zip(metrics.keys(), vals.tolist()))
+                    else:
+                        key, k_u = jax.random.split(key)
+                        key_c_chain, k_c = jax.random.split(key_c_chain)
+                        _, stats, traj = col.collect(
+                            ts_act, None, self.segment_len, k_c,
+                            explore=True, explore_param=explore_param,
+                            record_traj=True,
                         )
-                    seg_count += 1
-                    ts_prev = ts
-                    ts, bstate, metrics = host_step(ts, bstate, traj, k_u)
-                    ts_act = ts_prev if self.pipeline_host_updates else ts
+                        if metrics is not None and seg_count % metrics_interval == 0:
+                            vals = np.asarray(
+                                jnp.stack(list(metrics.values()))
+                            )
+                            last_metrics = self.smooth(
+                                dict(zip(metrics.keys(), vals.tolist()))
+                            )
+                        seg_count += 1
+                        ts_prev = ts
+                        ts, bstate, metrics = host_step(ts, bstate, traj, k_u)
+                        ts_act = ts_prev if self.pipeline_host_updates else ts
                     env_step += self.steps_per_segment
                     steps_this_epoch += self.steps_per_segment
                     grad_step += self.updates_per_segment
