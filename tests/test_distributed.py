@@ -241,8 +241,88 @@ def test_distributed_per_priority_scores_distributional():
 
     from tianshou_tpu.networks.discrete import ImplicitQuantileNetwork
 
-    iqn = IQN(ImplicitQuantileNetwork((32,), 2), env.action_space)
-    assert iqn.priority_scores(None, None) is None
+    iqn = IQN(ImplicitQuantileNetwork((32,), 2), env.action_space, n_step=2)
+    buf, bst, ts = filled(iqn)
+    sampled = iqn.presample(buf, bst, jax.random.key(4), 8)
+    scores = iqn.priority_scores(ts, sampled, jax.random.key(5))
+    assert scores.shape == (8,) and bool(jnp.all(scores >= 0))
+
+
+def test_iqn_fqf_priority_scores_shard_exact():
+    """The distributed-PER contract for the quantile family: recomputing
+    priorities shard-by-shard (each shard at its global ``row_offset``)
+    reproduces BIT-EXACTLY the |TD| the full-batch ``update_sampled``
+    wrote into the PER tree.  IQN's fractions are per-global-row
+    (``_rowwise_taus``); FQF's are deterministic proposals."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.algos.qrdqn import FQF, IQN
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.data.prio import PrioritizedReplayBuffer
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.discrete import (
+        FractionProposalNetwork,
+        FullQuantileFunction,
+        ImplicitQuantileNetwork,
+    )
+
+    env = CartPole()
+    algos = [
+        IQN(ImplicitQuantileNetwork((32,), 2), env.action_space, n_step=2),
+        FQF(
+            FullQuantileFunction((32,), 2),
+            FractionProposalNetwork(num_fractions=8),
+            env.action_space,
+            num_fractions=8,
+            n_step=2,
+        ),
+    ]
+    for algo in algos:
+        cap = 64
+        buf = PrioritizedReplayBuffer(capacity=cap, num_envs=2, alpha=0.6)
+        col = Collector(algo, VectorEnv(env, 2), buf)
+        cstate = col.reset(jax.random.key(0))
+        ts = algo.init(
+            jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs)
+        )
+        bst = buf.init(col.example_transition(ts, cstate))
+        _, bst, _, _ = col.collect(ts, cstate, bst, 20)
+
+        k_s, k_u = jax.random.split(jax.random.key(9))
+        B = 16
+        sampled = algo.presample(buf, bst, k_s, B)
+        env_idx, pos = sampled[0], sampled[1]
+        _, bst2, _ = algo.update_sampled(ts, buf, bst, sampled, k_u)
+
+        # shard recompute: two halves at their global row offsets
+        half = B // 2
+        shards = [
+            jax.tree.map(lambda x: x[p * half : (p + 1) * half], sampled)
+            for p in range(2)
+        ]
+        scores = jnp.concatenate(
+            [
+                algo.priority_scores(ts, shards[p], k_u, row_offset=p * half)
+                for p in range(2)
+            ]
+        )
+        # must equal the tree's written priorities at unique slots
+        flat = np.asarray(env_idx) * cap + np.asarray(pos)
+        pow2 = 1 << (cap * 2 - 1).bit_length()
+        tree = np.asarray(bst2.tree)
+        written, expected = [], []
+        for i in range(B):
+            if list(flat).count(flat[i]) == 1:
+                written.append(tree[pow2 + flat[i]])
+                expected.append((float(scores[i]) + 1e-6) ** 0.6)
+        assert len(written) >= 8
+        np.testing.assert_allclose(
+            np.asarray(written), np.asarray(expected), rtol=1e-6,
+            err_msg=type(algo).__name__,
+        )
 
 
 def test_priority_scores_exact_for_sampling_targets():

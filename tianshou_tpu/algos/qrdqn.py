@@ -163,13 +163,6 @@ class IQN(QRDQN):
     """Implicit quantile networks: fractions are sampled per forward
     (reference ``iqn.py:297``)."""
 
-    def priority_scores(self, ts, sampled, key=None):
-        # IQN's per-sample loss depends on the update's sampled fractions;
-        # the QRDQN fixed-midpoint recompute would be a DIFFERENT quantity,
-        # so distributed-PER write-back is explicitly unsupported (the
-        # trainer raises loudly) rather than silently approximated.
-        return None
-
     def __init__(
         self,
         network,  # ImplicitQuantileNetwork: (obs, taus) -> [B, K, A]
@@ -197,8 +190,20 @@ class IQN(QRDQN):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def _quantiles_sampled(self, params, obs, key, k):
-        taus = jax.random.uniform(key, (obs.shape[0], k))
+    def _rowwise_taus(self, key, n_rows, k, row_offset=0):
+        """Per-row fraction sampling: row ``i`` draws from
+        ``fold_in(key, row_offset + i)``, so the fractions of any batch row
+        depend only on its GLOBAL row id — not on the batch shape.  This is
+        what makes the distributed trainer's process-local priority
+        recompute exact: a shard at ``row_offset = pid * batch_local``
+        regenerates bit-for-bit the fractions its rows had inside the
+        global dp-sharded update (trainer/distributed.py PER write-back)."""
+        rows = row_offset + jnp.arange(n_rows)
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, rows)
+        return jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(keys)
+
+    def _quantiles_sampled(self, params, obs, key, k, row_offset=0):
+        taus = self._rowwise_taus(key, obs.shape[0], k, row_offset)
         vals = self.network.apply(params, obs, taus)  # [B, K, A]
         return vals.transpose(0, 2, 1), taus  # [B, A, K]
 
@@ -251,6 +256,40 @@ class IQN(QRDQN):
         ts = self._finish_update(ts, (loss, grads))
         return ts, bstate, {"loss": loss}
 
+    def priority_scores(self, ts, sampled, key=None, row_offset=0):
+        """Exact recompute of :meth:`update_sampled`'s quantile |TD|: the
+        same key splits and the same per-row fractions (``row_offset``
+        places this shard's rows inside the global batch, see
+        :meth:`_rowwise_taus`)."""
+        if key is None:
+            key = jax.random.key(0)
+        k_tgt, k_onl, k_dbl = jax.random.split(key, 3)
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
+        theta_t, _ = self._quantiles_sampled(
+            ts.target_params, term["obs_next"], k_tgt,
+            self.target_sample_size, row_offset,
+        )
+        if self.is_double:
+            v_onl, _ = self._quantiles_sampled(
+                ts.params, term["obs_next"], k_dbl,
+                self.target_sample_size, row_offset,
+            )
+            a_star = jnp.argmax(v_onl.mean(axis=-1), axis=-1)
+        else:
+            a_star = jnp.argmax(theta_t.mean(axis=-1), axis=-1)
+        theta_star = jnp.take_along_axis(
+            theta_t, a_star[:, None, None], axis=1
+        ).squeeze(1)
+        target = returns[:, None] + (discount * mask)[:, None] * theta_star
+        vals, taus = self._quantiles_sampled(
+            ts.params, batch["obs"], k_onl, self.online_sample_size, row_offset
+        )
+        theta_a = jnp.take_along_axis(
+            vals, batch["act"].astype(jnp.int32)[:, None, None], axis=1
+        ).squeeze(1)
+        _, td_abs = quantile_huber_loss(theta_a, target, taus)
+        return td_abs
+
 
 @struct.dataclass
 class FQFTrainState(TrainState):
@@ -263,11 +302,28 @@ class FQF(QRDQN):
     learned fraction proposals with their own optimizer and entropy
     regularization."""
 
-    def priority_scores(self, ts, sampled, key=None):
-        # priorities depend on the learned fraction proposals inside the
-        # update; see IQN.priority_scores for why this is explicitly
-        # unsupported rather than approximated.
-        return None
+    def priority_scores(self, ts, sampled, key=None, row_offset=0):
+        """Exact recompute of :meth:`update_sampled`'s |TD|: FQF's
+        fractions are LEARNED proposals (deterministic functions of the
+        state features), so the recompute needs no key mirroring at all —
+        it is exact for any batch sharding."""
+        env_idx, pos, weight, batch, term, mask, returns, discount = sampled
+        act = batch["act"].astype(jnp.int32)
+        taus_t, tau_hats_t, vals_t, _, _ = self._forward(
+            ts.target_params, ts.fraction_params, term["obs_next"]
+        )
+        w_t = (taus_t[:, 1:] - taus_t[:, :-1])[:, None, :]
+        a_star = jnp.argmax((w_t * vals_t).sum(axis=-1), axis=-1)
+        theta_star = jnp.take_along_axis(
+            vals_t, a_star[:, None, None], axis=1
+        ).squeeze(1)
+        target = returns[:, None] + (discount * mask)[:, None] * theta_star
+        _, tau_hats, vals, _, _ = self._forward(
+            ts.params, ts.fraction_params, batch["obs"]
+        )
+        theta_a = jnp.take_along_axis(vals, act[:, None, None], axis=1).squeeze(1)
+        _, td_abs = quantile_huber_loss(theta_a, target, tau_hats)
+        return td_abs
 
     def __init__(
         self,

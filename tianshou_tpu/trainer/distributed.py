@@ -160,8 +160,21 @@ class DistributedOffPolicyTrainer:
         best_reward, best_reward_std = -np.inf, 0.0
         last_metrics: dict = {}
         # PER write-back path, jitted once (an eager recompute would
-        # dispatch the whole target forward op by op per gradient step)
-        prio_fn = jax.jit(self.algo.priority_scores) if is_per else None
+        # dispatch the whole target forward op by op per gradient step).
+        # Algorithms whose fractions/samples are generated PER GLOBAL ROW
+        # (IQN's rowwise taus) take a row_offset so the local shard's
+        # recompute regenerates exactly the rows it occupied inside the
+        # global batch.
+        prio_fn = None
+        prio_takes_offset = False
+        if is_per:
+            import inspect
+
+            prio_takes_offset = (
+                "row_offset"
+                in inspect.signature(self.algo.priority_scores).parameters
+            )
+            prio_fn = jax.jit(self.algo.priority_scores)
 
         if self.warmup_steps > 0:
             warm_len = max(1, self.warmup_steps // global_envs)
@@ -200,12 +213,13 @@ class DistributedOffPolicyTrainer:
                         # same key as the update: algorithms that sample
                         # inside their target mirror the update's splits,
                         # making the recomputed priority exact
-                        scores = prio_fn(ts_pre, sampled, k_u)
-                        assert scores is not None, (
-                            f"{type(self.algo).__name__} does not implement "
-                            "priority_scores; PER write-back would be "
-                            "silently dropped in distributed mode"
-                        )
+                        if prio_takes_offset:
+                            scores = prio_fn(
+                                ts_pre, sampled, k_u,
+                                row_offset=pid * batch_local,
+                            )
+                        else:
+                            scores = prio_fn(ts_pre, sampled, k_u)
                         bstate = self.buffer.update_priorities(
                             bstate, sampled[0], sampled[1], scores
                         )
