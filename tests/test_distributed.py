@@ -17,6 +17,9 @@ WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_dist_worker.
 TRAINER_WORKER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "_dist_trainer_worker.py"
 )
+ONPOLICY_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_dist_onpolicy_worker.py"
+)
 
 
 def _free_port() -> int:
@@ -99,6 +102,83 @@ def test_two_process_distributed_trainer_reaches_threshold():
     assert results[0] == results[1], results
     stopped, best, _, _ = results[0]
     assert stopped == 1 and best >= 170, results[0]
+
+
+def test_two_process_distributed_onpolicy_trainer_reaches_threshold():
+    """The on-policy pod path (``DistributedOnPolicyTrainer``): per-process
+    env-shard rollouts assembled into one dp-sharded global trajectory,
+    GAE + repeat x minibatch PPO jitted over the global mesh.  PPO
+    CartPole reaches threshold with parameters in cross-process
+    lockstep."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, ONPOLICY_WORKER, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out.decode())
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        _, stopped, best, env_step, digest = lines[0].split()
+        results.append((int(stopped), float(best), int(env_step), float(digest)))
+
+    assert results[0] == results[1], results
+    stopped, best, _, _ = results[0]
+    assert stopped == 1 and best >= 195, results[0]
+
+
+def test_distributed_onpolicy_trainer_single_process_learns_cartpole():
+    """The distributed on-policy trainer IS a correct trainer at
+    process_count=1 (8-device mesh): PPO CartPole to threshold through the
+    global-mesh GAE + minibatch program."""
+    from tianshou_tpu.algos.ppo import PPO
+    from tianshou_tpu.collect.collector import Collector
+    from tianshou_tpu.envs.base import VectorEnv
+    from tianshou_tpu.envs.classic import CartPole
+    from tianshou_tpu.networks.common import QNet
+    from tianshou_tpu.networks.continuous import ValueNet
+    from tianshou_tpu.trainer.distributed import DistributedOnPolicyTrainer
+
+    env = CartPole()
+    algo = PPO(
+        QNet((64, 64), 2),
+        ValueNet((64, 64)),
+        env.action_space,
+        lr=3e-4,
+        gamma=0.99,
+        gae_lambda=0.95,
+        max_grad_norm=0.5,
+        ent_coef=0.0,
+    )
+    trainer = DistributedOnPolicyTrainer(
+        algo,
+        Collector(algo, VectorEnv(env, 16)),
+        Collector(algo, VectorEnv(env, 16)),
+        max_epoch=8,
+        step_per_epoch=30000,
+        step_per_collect=2048,
+        repeat_per_collect=10,
+        batch_size=256,
+        episode_per_test=10,
+        stop_fn=lambda rew: rew >= 195,
+        seed=0,
+    )
+    info = trainer.run()
+    assert info.stop_triggered, f"best={info.best_reward}"
 
 
 def test_distributed_trainer_per_writeback_single_process():

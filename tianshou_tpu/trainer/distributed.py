@@ -43,7 +43,7 @@ from tianshou_tpu.data.prio import PrioritizedReplayBuffer
 from tianshou_tpu.data.stats import InfoStats
 from tianshou_tpu.parallel.distributed import global_mesh, host_shard_pytree
 
-__all__ = ["DistributedOffPolicyTrainer"]
+__all__ = ["DistributedOffPolicyTrainer", "DistributedOnPolicyTrainer"]
 
 
 class DistributedOffPolicyTrainer:
@@ -270,6 +270,214 @@ class DistributedOffPolicyTrainer:
 
         self.train_state = ts
         self.buffer_state = bstate
+        return InfoStats(
+            gradient_step=grad_step,
+            env_step=env_step,
+            epoch=epoch,
+            best_reward=float(best_reward),
+            best_reward_std=float(best_reward_std),
+            duration=time.time() - t_start,
+            stop_triggered=stop_triggered,
+            last_metrics=last_metrics,
+        )
+
+
+class DistributedOnPolicyTrainer:
+    """SPMD on-policy training over ``jax.process_count()`` processes —
+    the distributed counterpart of :class:`~tianshou_tpu.trainer.onpolicy.
+    OnPolicyTrainer`, completing the pod story for both trainer families.
+
+    Invariants (mirroring :class:`DistributedOffPolicyTrainer`):
+
+    - every process rolls out its OWN env shard with the local jitted
+      collector (env-reset keys fold in the process index, so shards
+      explore disjoint experience);
+    - the per-process rollouts are assembled into ONE global trajectory
+      whose env axis is dp-sharded over the global mesh
+      (:func:`host_shard_pytree`; no host materializes global data);
+    - the standard on-policy program — ``process_rollout`` (GAE),
+      ``update_rollout_stats`` (PPO's return-rms), repeat x
+      shuffled-minibatch ``learn`` — runs ONCE, jitted over the global
+      mesh with replicated params.  Advantage statistics therefore see
+      GLOBAL data and XLA derives both the cross-host stat reductions and
+      the gradient all-reduce, so every process ends each segment with
+      identical parameters;
+    - epochs/tests/stopping run in lockstep off an identical PRNG chain,
+      with the test means all-gathered exactly as in the off-policy
+      trainer.
+    """
+
+    def __init__(
+        self,
+        algo: Algorithm,
+        train_collector: Collector,
+        test_collector: Collector,
+        *,
+        max_epoch: int,
+        step_per_epoch: int,
+        step_per_collect: int,
+        repeat_per_collect: int = 1,
+        batch_size: int = 64,
+        episode_per_test: int = 10,
+        stop_fn: Callable[[float], bool] | None = None,
+        logger: Any | None = None,
+        seed: int = 0,
+        mesh=None,
+        axis_name: str = "dp",
+    ):
+        self.algo = algo
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.max_epoch = max_epoch
+        self.step_per_epoch = step_per_epoch
+        self.step_per_collect = step_per_collect
+        self.repeat_per_collect = repeat_per_collect
+        self.batch_size = batch_size
+        self.episode_per_test = episode_per_test
+        self.stop_fn = stop_fn
+        self.logger = logger
+        self.seed = seed
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def _build_global_learn(self, M: int):
+        """``(ts, traj_env_major, key) -> (ts, metrics)`` jitted over the
+        global mesh: the OnPolicyTrainer learn program over the assembled
+        global trajectory (env-major ``[N_global, T, ...]`` leaves, the
+        dp-sharded leading axis)."""
+        import jax.numpy as jnp
+
+        from tianshou_tpu.data.tree import tree_slice
+
+        algo = self.algo
+        bs = min(self.batch_size, M)
+        nmb = max(1, M // bs)
+        repeat = self.repeat_per_collect
+        recompute = getattr(algo, "recompute_advantage", False)
+        has_pre_learn = hasattr(algo, "pre_learn")
+
+        def learn(ts, traj_env_major, key):
+            # back to the time-major [T, N_global, ...] layout the
+            # algorithm's rollout processing expects; the env axis keeps
+            # its dp sharding
+            traj = jax.tree.map(
+                lambda x: jnp.swapaxes(x, 0, 1), traj_env_major
+            )
+            pre_metrics = {}
+            if has_pre_learn:
+                key, k_pre = jax.random.split(key)
+                ts, pre_metrics = algo.pre_learn(ts, traj, k_pre)
+            processed0 = algo.process_rollout(ts, traj)
+            ts = algo.update_rollout_stats(ts, traj)
+
+            def repeat_body(ts, k):
+                processed = (
+                    algo.process_rollout(ts, traj) if recompute else processed0
+                )
+                k_perm, k_learn = jax.random.split(k)
+                perm = jax.random.permutation(k_perm, M)[: nmb * bs].reshape(
+                    nmb, bs
+                )
+
+                def mb_body(ts, xs):
+                    idx, i = xs
+                    return algo.learn(
+                        ts, tree_slice(processed, idx),
+                        jax.random.fold_in(k_learn, i),
+                    )
+
+                ts, metrics = jax.lax.scan(mb_body, ts, (perm, jnp.arange(nmb)))
+                return ts, jax.tree.map(lambda m: m.mean(), metrics)
+
+            keys = jax.random.split(key, repeat)
+            ts, metrics = jax.lax.scan(repeat_body, ts, keys)
+            metrics = jax.tree.map(lambda m: m.mean(), metrics)
+            metrics.update(pre_metrics)
+            return ts, metrics
+
+        return jax.jit(learn)
+
+    def run(self) -> InfoStats:
+        t_start = time.time()
+        n_proc = jax.process_count()
+        pid = jax.process_index()
+        mesh = self.mesh if self.mesh is not None else global_mesh(self.axis_name)
+        col = self.train_collector
+        local_envs = col.venv.num_envs
+        global_envs = local_envs * n_proc
+        segment_len = max(1, self.step_per_collect // global_envs)
+        steps_per_segment = segment_len * global_envs
+        M = steps_per_segment
+        updates_per_segment = self.repeat_per_collect * max(
+            1, M // min(self.batch_size, M)
+        )
+
+        key = jax.random.key(self.seed)
+        k_init, k_reset, key = jax.random.split(key, 3)
+        cstate = col.reset(jax.random.fold_in(k_reset, pid))
+        ts = self.algo.init(k_init, jax.tree.map(lambda x: x[0], cstate.obs))
+        learn = self._build_global_learn(M)
+
+        env_step = 0
+        grad_step = 0
+        best_reward, best_reward_std = -np.inf, 0.0
+        last_metrics: dict = {}
+        stop_triggered = False
+        epoch = 0
+        for epoch in range(1, self.max_epoch + 1):
+            steps_this_epoch = 0
+            while steps_this_epoch < self.step_per_epoch:
+                cstate, _, stats, traj = col.collect(
+                    ts, cstate, None, segment_len, explore=True,
+                    record_traj=True,
+                )
+                # local [T, N_local, ...] -> env-major shard -> global
+                # dp-sharded trajectory (leading axis = global env axis)
+                traj_local = jax.tree.map(
+                    lambda x: np.moveaxis(np.asarray(x), 1, 0), traj
+                )
+                traj_g = host_shard_pytree(traj_local, mesh, self.axis_name)
+                key, k_u = jax.random.split(key)  # lockstep learn key
+                ts, metrics = learn(ts, traj_g, k_u)
+                env_step += steps_per_segment
+                steps_this_epoch += steps_per_segment
+                grad_step += updates_per_segment
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                if self.logger is not None and pid == 0:
+                    self.logger.log_train_data(
+                        {
+                            "env_step": env_step,
+                            "returns_mean": stats.returns_mean,
+                            **last_metrics,
+                        },
+                        env_step,
+                    )
+
+            # lockstep test phase (see DistributedOffPolicyTrainer.run)
+            key, k_test = jax.random.split(key)
+            test_stats = self.test_collector.collect_episodes(
+                ts, k_test, self.episode_per_test, explore=False
+            )
+            rew, rew_std = test_stats.returns_mean, test_stats.returns_std
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                gathered = multihost_utils.process_allgather(
+                    np.asarray([rew, rew_std], np.float64)
+                )
+                rew = float(np.mean(gathered[..., 0]))
+                rew_std = float(np.mean(gathered[..., 1]))
+            if rew > best_reward:
+                best_reward, best_reward_std = rew, rew_std
+            if self.logger is not None and pid == 0:
+                self.logger.log_test_data(
+                    {"returns_mean": rew, "returns_std": rew_std}, env_step
+                )
+            if self.stop_fn is not None and self.stop_fn(rew):
+                stop_triggered = True
+                break
+
+        self.train_state = ts
         return InfoStats(
             gradient_step=grad_step,
             env_step=env_step,
