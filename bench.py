@@ -56,7 +56,7 @@ PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e11}
 
 def _bench_pipeline(algo, env, num_envs, segment_len, batch_size,
                     updates_per_segment, n_iters=5, explore_param=0.1,
-                    buffer_capacity=64):
+                    buffer_capacity=64, buffer_kwargs=None):
     """Build the fused superstep for (algo, env) and time it.  Returns
     (env_steps_per_sec, seconds_per_iter, superstep_fn, args)."""
     import jax
@@ -67,7 +67,9 @@ def _bench_pipeline(algo, env, num_envs, segment_len, batch_size,
     from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
 
     venv = VectorEnv(env, num_envs)
-    buffer = ReplayBuffer(capacity=buffer_capacity, num_envs=num_envs)
+    buffer = ReplayBuffer(
+        capacity=buffer_capacity, num_envs=num_envs, **(buffer_kwargs or {})
+    )
     collector = Collector(algo, venv, buffer)
     trainer = OffPolicyTrainer(
         algo, collector, collector, buffer,
@@ -80,15 +82,14 @@ def _bench_pipeline(algo, env, num_envs, segment_len, batch_size,
     cstate = collector.reset(key)
     ts = algo.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
     bstate = buffer.init(collector.example_transition(ts, cstate))
-    jitted = trainer._build_superstep()
-
     # AOT path (lower -> compile -> call the executable): on the axon
     # tunnel the jit dispatch path stalls for many minutes on conv-heavy
     # programs even with a warm persistent cache, while the AOT compile
     # hits the cache in sub-second time and the executable call is clean.
-    compiled = jitted.lower(
-        ts, cstate, bstate, jax.random.key(10), explore_param
-    ).compile()
+    # Layout-pinned compile: XLA-chosen parameter layouts, carried state
+    # pinned in==out (drops two whole-buffer transposing copies per
+    # superstep on pixel storage; see OffPolicyTrainer._compile_superstep).
+    compiled = trainer._compile_superstep(ts, cstate, bstate)
 
     def superstep(ts, cstate, bstate, key, p):
         return compiled(ts, cstate, bstate, key, p)
@@ -162,7 +163,7 @@ def _pipeline_flops(algo, obs_shape, obs_dtype, params, num_envs, seg, batch,
 
 
 def _conv_stage(name, env, encoder, num_envs, seg, batch, peak, platform,
-                gamma=0.99, extra=None):
+                gamma=0.99, extra=None, buffer_kwargs=None):
     """Run one conv-pipeline stage and print its diagnostic line."""
     import jax
 
@@ -176,7 +177,8 @@ def _conv_stage(name, env, encoder, num_envs, seg, batch, peak, platform,
         lr=1e-3, gamma=gamma, n_step=3, target_update_freq=1000,
     )
     sps, dt, compiled, args = _bench_pipeline(
-        algo, env, num_envs, seg, batch, updates, n_iters=3
+        algo, env, num_envs, seg, batch, updates, n_iters=3,
+        buffer_kwargs=buffer_kwargs,
     )
     ts = args[0]
     obs = jax.tree.leaves(args[1].obs)[0]
@@ -223,6 +225,13 @@ def _run_stage(stage: str) -> None:
     if stage == "atari":
         from tianshou_tpu.envs.synthetic import SyntheticPixelEnv
 
+        # Workload note (round-4 measurement): the reference's Atari memory
+        # regime (stack_num=4 + save_only_last_obs + ignore_obs_next, an
+        # 8x smaller ring) was benched via buffer_kwargs and came out ~8%
+        # SLOWER here (39.4k vs 42.7k steps/s) — the 4 chained prev-gathers
+        # per sampled stack cost more than the ring shrink saves at this
+        # buffer size.  The stage keeps the stored-stack layout for
+        # cross-round continuity; details in docs/PERFORMANCE.md.
         line = _conv_stage(
             "dqn_atari84_naturecnn_env_steps_per_sec",
             SyntheticPixelEnv(84, 84, 4, num_actions=6),

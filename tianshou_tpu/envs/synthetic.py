@@ -48,21 +48,35 @@ class SyntheticPixelEnv(JaxEnv):
         channels: int = 4,
         num_actions: int = 6,
         episode_len: int = 512,
+        channel_first: bool = False,
     ):
+        """``channel_first=True`` emits ``[stack, H, W]`` frames — the
+        reference Atari frame-stack layout (``atari_wrapper.py`` stacks
+        channel-first), which is what the buffer's ``save_only_last_obs``
+        memory option expects (newest frame at index -1)."""
         self.height = height
         self.width = width
         self.channels = channels
         self.episode_len = episode_len
-        self.observation_space = Box(
-            low=0.0, high=255.0, shape=(height, width, channels)
+        self.channel_first = channel_first
+        shape = (
+            (channels, height, width)
+            if channel_first
+            else (height, width, channels)
         )
+        self.observation_space = Box(low=0.0, high=255.0, shape=shape)
         self.action_space = Discrete(num_actions)
 
     def _frame(self, t: jax.Array, seed: jax.Array) -> jax.Array:
-        shape = (self.height, self.width, self.channels)
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        c = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        if self.channel_first:
+            shape = (self.channels, self.height, self.width)
+            ci, hi, wi = 0, 1, 2
+        else:
+            shape = (self.height, self.width, self.channels)
+            ci, hi, wi = 2, 0, 1
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, hi)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, wi)
+        c = jax.lax.broadcasted_iota(jnp.int32, shape, ci)
         v = i * 17 + j * 29 + c * 101 + t * 13 + seed * 7
         return (v & 0xFF).astype(jnp.uint8)
 

@@ -180,7 +180,7 @@ class OffPolicyTrainer:
         )
 
     # ------------------------------------------------------------------
-    def _build_superstep(self):
+    def _build_superstep(self, auto_layout: bool = False):
         algo, buffer = self.algo, self.buffer
         seg = rollout_segment(
             algo,
@@ -199,7 +199,70 @@ class OffPolicyTrainer:
             ts, bstate, metrics = updates_fn(ts, bstate, key)
             return ts, cstate, bstate, outputs, metrics
 
+        if auto_layout:
+            self._superstep_raw = superstep
         return jax.jit(superstep, donate_argnums=(2,))
+
+    def _compile_superstep(self, ts, cstate, bstate):
+        """AOT-compile the superstep, with XLA-chosen parameter layouts.
+
+        Default (row-major) layouts can disagree with what the rollout
+        writer and the presample gather want for pixel replay storage
+        (u8[E, cap, 84, 84, 4]); XLA then inserts TWO transposing copies of
+        the ENTIRE ring buffer per superstep (round-4 trace: ~8 ms at bench
+        scale, arbitrarily worse at real buffer sizes).  The fix is the
+        two-step layout-inference pattern: (1) compile with AUTO in/out
+        layouts to discover XLA's preferred parameter layouts, (2)
+        recompile pinning inputs AND outputs of the carried state
+        (ts/cstate/bstate) to those layouts, so the carry cycles through
+        the executable zero-copy (AUTO alone lets XLA pick DIFFERENT
+        input/output layouts and the second call rejects its own first
+        call's outputs).  Host-fetched outputs/metrics keep default
+        layouts.  Falls back to the plain AOT path on backends without
+        layout control."""
+        example = (ts, cstate, bstate, jax.random.key(0), 0.0)
+        jitted = self._build_superstep(auto_layout=True)
+        # OPT-IN (TIANSHOU_TPU_AUTO_LAYOUT=1): round-4 measurements show
+        # AUTO layouts cut the atari-scale superstep 48->42 ms (the two
+        # whole-ring transposing copies vanish), but the persistent
+        # compilation cache cannot round-trip AUTO-layout executables on
+        # this backend — cache reads fail with INVALID_ARGUMENT and can
+        # poison same-named entries — so the default stays on the plain
+        # deterministic path.  Full story: docs/PERFORMANCE.md round 4.
+        import os as _os
+
+        if _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT") != "1":
+            return jitted.lower(*example).compile()
+        try:
+            import jax.numpy as jnp
+
+            from jax._src.layout import AutoLayout
+            from jax.experimental.layout import Format
+
+            auto = Format(AutoLayout())
+            c = jax.jit(
+                self._superstep_raw,
+                donate_argnums=(2,),
+                in_shardings=(auto,) * 5,
+                out_shardings=(auto,) * 5,
+            ).lower(*example).compile()
+            # Validate the executable actually cycles: XLA may choose
+            # DIFFERENT input/output layouts for the carried state, in
+            # which case the second call rejects the first call's outputs
+            # ("compiled for input layouts that disagree...").  Probe two
+            # cycles on a COPY of the buffer state (the probe donates it)
+            # including a metrics fetch; any failure -> default layouts.
+            # Note: pinning the discovered layouts instead is NOT an
+            # option — forced non-default layouts pessimize the gather
+            # paths by 20-250x on this backend (round-4 measurements).
+            bcopy = jax.tree.map(jnp.copy, bstate)
+            o = c(ts, cstate, bcopy, jax.random.key(0), 0.0)
+            o = c(o[0], o[1], o[2], jax.random.key(1), 0.0)
+            float(jax.tree.leaves(o[4])[0])
+            del o, bcopy
+            return c
+        except Exception:
+            return jitted.lower(*example).compile()
 
     # ------------------------------------------------------------------
     def _fused_fine_applicable(self, traj) -> bool:
@@ -592,10 +655,9 @@ class OffPolicyTrainer:
             # cache deterministically — on the tunneled-TPU platform the
             # jit path has been observed to stall for minutes recompiling
             # conv-heavy supersteps that the AOT path loads in <1s.
-            jitted = self._build_superstep()
-            compiled = jitted.lower(
-                ts, cstate, bstate, jax.random.key(0), 0.0
-            ).compile()
+            # layout-pinned AOT (kills whole-ring relayout copies on pixel
+            # buffers, see _compile_superstep); falls back internally.
+            compiled = self._compile_superstep(ts, cstate, bstate)
             self._superstep = lambda *a: compiled(*a)
 
         stop_triggered = False
