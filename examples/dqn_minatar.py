@@ -33,9 +33,15 @@ def main():
     p.add_argument("--target-update-freq", type=int, default=1000)
     p.add_argument("--eps-train", type=float, default=0.1)
     p.add_argument("--eps-test", type=float, default=0.0)
+    # MinAtar-paper exploration: linear 1.0 -> eps-train over the first
+    # --eps-decay-steps env steps (0 = constant eps-train)
+    p.add_argument("--eps-decay-steps", type=int, default=0)
     p.add_argument("--stop-reward", type=float, default=None)
     p.add_argument("--dueling", action="store_true")
+    p.add_argument("--algo", default="dqn", choices=["dqn", "qrdqn"])
+    p.add_argument("--num-quantiles", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logdir", default=None)
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -45,29 +51,58 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from tianshou_tpu.algos.dqn import DQN
+    from tianshou_tpu.algos.qrdqn import QRDQN
     from tianshou_tpu.collect.collector import Collector
     from tianshou_tpu.data.buffer import ReplayBuffer
     from tianshou_tpu.envs import VectorEnv, make_minatar
     from tianshou_tpu.networks import ConvDuelingQNet, ConvQNet
+    from tianshou_tpu.networks.conv import ConvQRDQNNet
 
     env = make_minatar(args.game)
     n_act = env.action_space.n
-    net_cls = ConvDuelingQNet if args.dueling else ConvQNet
     train_venv = VectorEnv(env, args.num_envs)
     test_venv = VectorEnv(env, args.num_envs)
-    algo = DQN(
-        network=net_cls(num_actions=n_act, encoder="minatar"),
-        action_space=env.action_space,
-        lr=args.lr,
-        gamma=args.gamma,
-        n_step=args.n_step,
-        target_update_freq=args.target_update_freq,
-    )
+    if args.algo == "qrdqn":
+        algo = QRDQN(
+            network=ConvQRDQNNet(
+                num_actions=n_act, num_quantiles=args.num_quantiles,
+                encoder="minatar",
+            ),
+            action_space=env.action_space,
+            num_quantiles=args.num_quantiles,
+            lr=args.lr,
+            gamma=args.gamma,
+            n_step=args.n_step,
+            target_update_freq=args.target_update_freq,
+        )
+    else:
+        net_cls = ConvDuelingQNet if args.dueling else ConvQNet
+        algo = DQN(
+            network=net_cls(num_actions=n_act, encoder="minatar"),
+            action_space=env.action_space,
+            lr=args.lr,
+            gamma=args.gamma,
+            n_step=args.n_step,
+            target_update_freq=args.target_update_freq,
+        )
     buffer = ReplayBuffer(
         capacity=args.buffer_size // args.num_envs, num_envs=args.num_envs
     )
     from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+    from tianshou_tpu.utils.logger import TensorboardLogger
 
+    if args.eps_decay_steps > 0:
+
+        def eps_fn(epoch, step):
+            frac = min(1.0, step / args.eps_decay_steps)
+            return 1.0 + frac * (args.eps_train - 1.0)
+
+    else:
+        eps_fn = lambda epoch, step: args.eps_train
+
+    logger = (
+        TensorboardLogger(args.logdir) if args.logdir else None
+    )
     trainer = OffPolicyTrainer(
         algo,
         Collector(algo, train_venv, buffer),
@@ -79,11 +114,12 @@ def main():
         update_per_step=args.update_per_step,
         batch_size=args.batch_size,
         episode_per_test=10,
-        train_param_fn=lambda epoch, step: args.eps_train,
+        train_param_fn=eps_fn,
         test_param=args.eps_test,
         stop_fn=(lambda rew: rew >= args.stop_reward) if args.stop_reward else None,
         warmup_steps=5000,
         seed=args.seed,
+        logger=logger,
     )
     t0 = time.time()
     info = trainer.run()

@@ -32,6 +32,7 @@ __all__ = [
     "ConvQNet",
     "ConvDuelingQNet",
     "ConvValueNet",
+    "ConvQRDQNNet",
 ]
 
 
@@ -130,6 +131,24 @@ class ConvValueNet(nn.Module):
         kw = self.encoder_kwargs or {}
         feat = {"minatar": MinAtarCNN, "nature": NatureCNN}[self.encoder](**kw)(obs)
         return nn.Dense(1)(feat).squeeze(-1)
+
+
+class ConvQRDQNNet(nn.Module):
+    """Pixel obs -> per-action quantile values ``[B, A, K]``: conv encoder
+    + QRDQN head (the reference's Atari QRDQN net,
+    ``examples/atari/atari_network.py`` QRDQN class)."""
+
+    num_actions: int
+    num_quantiles: int = 200
+    encoder: str = "minatar"
+    encoder_kwargs: dict | None = None
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        kw = self.encoder_kwargs or {}
+        feat = {"minatar": MinAtarCNN, "nature": NatureCNN}[self.encoder](**kw)(obs)
+        out = nn.Dense(self.num_actions * self.num_quantiles)(feat)
+        return out.reshape(obs.shape[0], self.num_actions, self.num_quantiles)
 
 
 class ConvDuelingQNet(nn.Module):
