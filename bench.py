@@ -205,6 +205,72 @@ def _conv_stage(name, env, encoder, num_envs, seg, batch, peak, platform,
     return line
 
 
+def _host_stage(platform):
+    """SAC HalfCheetah through the host-env bridge at the reference config
+    (8 gymnasium envs + device learner, 64-step collects, 1 update/step) —
+    the operating mode real MuJoCo users feel.  Reports steady-state
+    env-steps/s over a 12.8k-step training slice (excludes warmup +
+    compile)."""
+    import time as _t
+
+    import gymnasium as gym
+    import jax
+
+    from tianshou_tpu.algos.sac import SAC
+    from tianshou_tpu.collect.host_collector import HostCollector
+    from tianshou_tpu.data.buffer import ReplayBuffer
+    from tianshou_tpu.envs.host import HostVectorEnv, space_from_gym
+    from tianshou_tpu.networks.continuous import CriticEnsemble, GaussianActor
+    from tianshou_tpu.trainer.offpolicy import OffPolicyTrainer
+
+    make = lambda: gym.make("HalfCheetah-v4")
+    probe = make()
+    act_space = space_from_gym(probe.action_space)
+    probe.close()
+    algo = SAC(
+        actor=GaussianActor((256, 256), act_space.shape[0], conditioned_sigma=True),
+        critic=CriticEnsemble((256, 256), num_critics=2),
+        action_space=act_space,
+        auto_alpha=False,
+    )
+    buffer = ReplayBuffer(capacity=40_000 // 8, num_envs=8)
+    train_venv = HostVectorEnv([make for _ in range(8)])
+    test_venv = HostVectorEnv([make for _ in range(2)])
+    def make_trainer(max_epoch, step_per_epoch):
+        return OffPolicyTrainer(
+            algo,
+            HostCollector(algo, train_venv, buffer),
+            HostCollector(algo, test_venv),
+            buffer,
+            max_epoch=max_epoch,
+            step_per_epoch=step_per_epoch,
+            step_per_collect=64,
+            update_per_step=1.0,
+            batch_size=256,
+            episode_per_test=1,
+            warmup_steps=2000,
+            seed=0,
+        )
+
+    # warm pass fills the in-process + persistent compile caches so the
+    # timed pass measures steady-state host-loop throughput, not compiles
+    make_trainer(1, 640).run()
+    info = make_trainer(2, 6400).run()
+    train_venv.close()
+    test_venv.close()
+    # steps/s over the trained slice only (duration includes one test
+    # episode per epoch; honest-downward)
+    trained = info.env_step
+    sps = trained / info.duration
+    return {
+        "metric": "sac_halfcheetah_host_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "env-steps/s",
+        "config": "8 gym envs, spc=64, UTD 1.0, batch 256",
+        "platform": platform,
+    }
+
+
 def _init_jax():
     import jax
 
@@ -249,6 +315,9 @@ def _run_stage(stage: str) -> None:
             num_envs=256, seg=32, batch=512, peak=peak, platform=platform,
         )
         print("conv_bench: " + json.dumps(line), flush=True)
+    elif stage == "host":
+        line = _host_stage(platform)
+        print("host_bench: " + json.dumps(line), flush=True)
 
 
 def main():
@@ -260,7 +329,11 @@ def main():
     import subprocess
 
     stage_timeout = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "240"))
-    for stage, tag in (("atari", "atari_bench"), ("conv", "conv_bench")):
+    for stage, tag in (
+        ("atari", "atari_bench"),
+        ("conv", "conv_bench"),
+        ("host", "host_bench"),
+    ):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", stage],
