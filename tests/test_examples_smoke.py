@@ -47,6 +47,34 @@ def test_cpp_pool_example_bench_mode():
         assert row in r.stdout, r.stdout[-1000:]
 
 
+def test_box2d_dqn_example():
+    """examples/box2d_dqn.py: LunarLander-v3 dueling DQN through the host
+    bridge runs end to end at a tiny budget."""
+    r = _run(
+        ["examples/box2d_dqn.py", "--platform", "cpu",
+         "--max-epoch", "1", "--step-per-epoch", "1500",
+         "--num-envs", "4", "--test-envs", "2", "--stop-reward", "1e9",
+         "--logdir", "/tmp/test_lunar_smoke"],
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "DQN/LunarLander-v3" in r.stdout
+
+
+def test_a2c_mujoco_example():
+    """examples/mujoco_a2c.py at a tiny budget (reference on-policy A2C
+    config through the obs-normalized host bridge)."""
+    r = _run(
+        ["examples/mujoco_a2c.py", "--platform", "cpu",
+         "--max-epoch", "1", "--step-per-epoch", "800",
+         "--num-envs", "4", "--test-envs", "2",
+         "--logdir", "/tmp/test_a2c_smoke"],
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "A2C/HalfCheetah-v4" in r.stdout
+
+
 def test_atari_collector_stores_exact_warped_frames():
     """Exact-content check through the product path: the frame stored in
     the replay buffer at step t IS the wrap_deepmind output frame for
