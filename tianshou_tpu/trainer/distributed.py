@@ -231,7 +231,11 @@ class DistributedOffPolicyTrainer:
                     self.logger.log_train_data(
                         {
                             "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
+                            **(
+                                {"returns_mean": stats.returns_mean}
+                                if stats.returns.size
+                                else {}
+                            ),
                             **last_metrics,
                         },
                         env_step,
@@ -447,7 +451,11 @@ class DistributedOnPolicyTrainer:
                     self.logger.log_train_data(
                         {
                             "env_step": env_step,
-                            "returns_mean": stats.returns_mean,
+                            **(
+                                {"returns_mean": stats.returns_mean}
+                                if stats.returns.size
+                                else {}
+                            ),
                             **last_metrics,
                         },
                         env_step,

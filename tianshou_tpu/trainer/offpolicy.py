@@ -567,7 +567,14 @@ class OffPolicyTrainer:
                         self.logger.log_train_data(
                             {
                                 "env_step": env_step,
-                                "returns_mean": stats.returns_mean,
+                                # only when the segment finished episodes:
+                                # a constant 0.0 between episode ends makes
+                                # the train-return curve unreadable
+                                **(
+                                    {"returns_mean": stats.returns_mean}
+                                    if stats.returns.size
+                                    else {}
+                                ),
                                 **last_metrics,
                             },
                             env_step,
@@ -711,7 +718,14 @@ class OffPolicyTrainer:
                         self.logger.log_train_data(
                             {
                                 "env_step": env_step,
-                                "returns_mean": stats.returns_mean,
+                                # only when the segment finished episodes:
+                                # a constant 0.0 between episode ends makes
+                                # the train-return curve unreadable
+                                **(
+                                    {"returns_mean": stats.returns_mean}
+                                    if stats.returns.size
+                                    else {}
+                                ),
                                 **last_metrics,
                             },
                             env_step,

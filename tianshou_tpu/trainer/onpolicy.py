@@ -251,7 +251,14 @@ class OnPolicyTrainer:
                         self.logger.log_train_data(
                             {
                                 "env_step": env_step,
-                                "returns_mean": stats.returns_mean,
+                                # only when the segment finished episodes:
+                                # a constant 0.0 between episode ends makes
+                                # the train-return curve unreadable
+                                **(
+                                    {"returns_mean": stats.returns_mean}
+                                    if stats.returns.size
+                                    else {}
+                                ),
                                 **last_metrics,
                             },
                             env_step,
@@ -365,7 +372,14 @@ class OnPolicyTrainer:
                         self.logger.log_train_data(
                             {
                                 "env_step": env_step,
-                                "returns_mean": stats.returns_mean,
+                                # only when the segment finished episodes:
+                                # a constant 0.0 between episode ends makes
+                                # the train-return curve unreadable
+                                **(
+                                    {"returns_mean": stats.returns_mean}
+                                    if stats.returns.size
+                                    else {}
+                                ),
                                 **last_metrics,
                             },
                             env_step,
