@@ -86,6 +86,26 @@ def test_remote_venv_semantics(two_farms):
     venv.close()
 
 
+def test_remote_env_factory(two_farms):
+    """highlevel RemoteEnvFactory builds Environments from farm addresses."""
+    from tianshou_tpu.highlevel.env import RemoteEnvFactory
+
+    # connect with retry first so the factory call below can't race the
+    # farm startup (also exercises farm survival across a client close)
+    _connect(two_farms).close()
+    # a farm serves one learner connection at a time: train on farm 0,
+    # test on farm 1
+    fac = RemoteEnvFactory(two_farms[:1], two_farms[1:])
+    envs = fac.create_envs(4, 4)
+    assert envs.train_venv.num_envs == 4
+    assert envs.test_venv.num_envs == 4
+    assert envs.backend == "host"
+    obs = envs.train_venv.reset(seed=0)
+    assert obs.shape == (4, 4)
+    envs.train_venv.close()
+    envs.test_venv.close()
+
+
 def test_remote_dqn_cartpole_learns(two_farms):
     """Train DQN to threshold with ALL env stepping on remote farms —
     the collector/trainer stack is unchanged (RemoteVectorEnv presents the

@@ -89,10 +89,11 @@ def serve_envs(
 ) -> None:
     """Host ``len(env_fns)`` environments and serve step/reset requests.
 
-    Blocks forever (run it on the farm machine); one learner connection at
-    a time drives the envs, reconnects are accepted (the env fleet
-    persists across connections, like a Ray actor surviving a driver
-    restart).
+    Blocks forever (run it on the farm machine); ONE learner connection at
+    a time drives the envs (a farm backs exactly one client venv — run a
+    second farm process for a test fleet), and reconnects are accepted:
+    the env fleet persists across connections, like a Ray actor surviving
+    a driver restart.
     """
     venv = HostVectorEnv(env_fns)
     obs_space, act_space = venv.observation_space, venv.action_space
@@ -133,8 +134,10 @@ def serve_envs(
                         out = _pack_step(res, carry)
                         conn.sendall(struct.pack("<I", len(out)) + out)
                     elif cmd == _CMD_CLOSE:
-                        conn.close()
-                        return
+                        # close THIS connection; the farm itself stays up
+                        # for the next learner (parity with a Ray actor
+                        # outliving its driver)
+                        break
                     else:  # pragma: no cover - protocol violation
                         raise ValueError(f"unknown command {cmd}")
             except (ConnectionError, OSError):

@@ -18,7 +18,13 @@ from tianshou_tpu.envs.host import HostVectorEnv, NormObsHostVectorEnv
 from tianshou_tpu.envs.norm import NormObsVectorEnv
 from tianshou_tpu.envs.spaces import Space
 
-__all__ = ["Environments", "EnvFactory", "JaxEnvFactory", "GymEnvFactory"]
+__all__ = [
+    "Environments",
+    "EnvFactory",
+    "JaxEnvFactory",
+    "GymEnvFactory",
+    "RemoteEnvFactory",
+]
 
 
 @dataclasses.dataclass
@@ -61,6 +67,43 @@ class JaxEnvFactory(EnvFactory):
             observation_space=self.env.observation_space,
             action_space=self.env.action_space,
             backend="jax",
+        )
+
+
+class RemoteEnvFactory(EnvFactory):
+    """Env farms on machines outside the mesh (``envs/remote.py``), the
+    cluster analog of the reference's ``RayVectorEnv`` selection in its
+    high-level env factory.  ``train_addresses``/``test_addresses`` are
+    ``"host:port"`` farm endpoints; env counts come from the farms
+    themselves (``num_train``/``num_test`` are validated against them)."""
+
+    def __init__(
+        self,
+        train_addresses: list[str],
+        test_addresses: list[str],
+    ):
+        self.train_addresses = train_addresses
+        self.test_addresses = test_addresses
+
+    def create_envs(self, num_train: int, num_test: int) -> Environments:
+        from tianshou_tpu.envs.remote import RemoteVectorEnv
+
+        train = RemoteVectorEnv(self.train_addresses)
+        test = RemoteVectorEnv(self.test_addresses)
+        for venv, want, kind in (
+            (train, num_train, "train"),
+            (test, num_test, "test"),
+        ):
+            assert venv.num_envs == want or want <= 0, (
+                f"{kind} farms host {venv.num_envs} envs, config asks "
+                f"for {want}"
+            )
+        return Environments(
+            train_venv=train,
+            test_venv=test,
+            observation_space=train.observation_space,
+            action_space=train.action_space,
+            backend="host",
         )
 
 
