@@ -89,7 +89,11 @@ def main():
         update_per_step=args.update_per_step,
         batch_size=args.batch_size,
         episode_per_test=args.test_envs,
-        train_param_fn=lambda e, s: args.eps_train,
+        # reference exp decay: eps_train * (1-5e-6)^env_step, floored at
+        # eps_test (lunarlander_dqn.py train_fn)
+        train_param_fn=lambda e, s: max(
+            args.eps_train * (1.0 - 5e-6) ** s, args.eps_test
+        ),
         test_param=args.eps_test,
         stop_fn=(
             (lambda rew: rew >= args.stop_reward) if args.stop_reward else None
