@@ -112,6 +112,46 @@ def test_fused_cycle_buffer_contents_match_env():
     test_venv.close()
 
 
+def test_fused_cycle_deterministic_across_runs():
+    """Same seed -> bit-identical stored transitions: pins the fused
+    cycle's counter-based key derivation (fold_in(base_key, ctr)) so a
+    refactor can't silently change the exploration stream."""
+    def run_once():
+        make = lambda: gym.make("Pendulum-v1")
+        venv = HostVectorEnv([make for _ in range(2)])
+        test_venv = HostVectorEnv([make for _ in range(2)])
+        act_space = space_from_gym(venv.action_space)
+        algo = DDPG(
+            DeterministicActor((16,), 1),
+            CriticEnsemble((16,), num_critics=1),
+            act_space,
+        )
+        buffer = ReplayBuffer(capacity=32, num_envs=2)
+        trainer = OffPolicyTrainer(
+            algo,
+            HostCollector(algo, venv, buffer),
+            HostCollector(algo, test_venv),
+            buffer,
+            max_epoch=1,
+            step_per_epoch=12,
+            step_per_collect=2,
+            batch_size=4,
+            episode_per_test=1,
+            warmup_steps=0,
+            seed=7,
+        )
+        trainer.run()
+        assert trainer.last_run_used_fused
+        out = jax.tree.map(np.asarray, trainer.buffer_state.storage)
+        venv.close()
+        test_venv.close()
+        return out
+
+    a, b = run_once(), run_once()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_fused_cycle_dqn_cartpole_learns():
     make = lambda: gym.make("CartPole-v1")
     algo = DQN(
