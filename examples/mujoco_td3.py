@@ -22,7 +22,7 @@ def main():
     p.add_argument("--task", default="HalfCheetah-v4")
     p.add_argument("--platform", default=None)
     p.add_argument("--num-envs", type=int, default=8)
-    p.add_argument("--test-envs", type=int, default=4)
+    p.add_argument("--test-envs", type=int, default=10)  # reference test_num=10 (mujoco_sac.py:43)
     p.add_argument("--max-epoch", type=int, default=100)
     p.add_argument("--step-per-epoch", type=int, default=10000)
     p.add_argument("--step-per-collect", type=int, default=8)

@@ -153,3 +153,154 @@ def test_remote_dqn_cartpole_learns(two_farms):
     venv.close()
     test_venv_local.close()
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+# -- v2 protocol: native dtypes, dict obs, fault tolerance -------------------
+
+
+class _Uint8DictEnv:
+    """Deterministic env with dict obs (uint8 pixels + float vec) to pin the
+    dtype-preserving wire layout: pixels must cross at 1 byte/px."""
+
+    def __init__(self):
+        import gymnasium as gym
+
+        self.observation_space = gym.spaces.Dict(
+            {
+                "pix": gym.spaces.Box(0, 255, (4, 4), np.uint8),
+                "vec": gym.spaces.Box(-10, 10, (3,), np.float32),
+            }
+        )
+        self.action_space = gym.spaces.Discrete(3)
+        self.t = 0
+
+    def _obs(self):
+        return {
+            "pix": np.full((4, 4), self.t % 256, np.uint8),
+            "vec": np.full((3,), float(self.t), np.float32),
+        }
+
+    def reset(self, seed=None, options=None):
+        self.t = 0
+        return self._obs(), {}
+
+    def step(self, act):
+        self.t += 1
+        return self._obs(), float(act), self.t >= 5, False, {}
+
+    def close(self):
+        pass
+
+
+def _serve_in_thread(env_fns, port):
+    import threading
+
+    from tianshou_tpu.envs.remote import serve_envs
+
+    th = threading.Thread(
+        target=serve_envs,
+        args=(env_fns, port),
+        kwargs={"host": "127.0.0.1"},
+        daemon=True,
+    )
+    th.start()
+    return th
+
+
+def test_uint8_dict_obs_roundtrip():
+    """uint8 + dict observations cross the wire in native dtype and exact
+    value (VERDICT r4 item 8; wire layout from the JSON handshake)."""
+    port = _free_port()
+    _serve_in_thread([_Uint8DictEnv for _ in range(3)], port)
+    venv = _connect([f"127.0.0.1:{port}"])
+    assert venv.num_envs == 3
+    assert isinstance(venv.observation_space, dict)
+    obs = venv.reset(seed=0)
+    assert obs["pix"].dtype == np.uint8 and obs["pix"].shape == (3, 4, 4)
+    assert obs["vec"].dtype == np.float32
+    np.testing.assert_array_equal(obs["pix"], 0)
+    for t in range(1, 7):
+        res, carry = venv.step(np.array([0, 1, 2], np.int32))
+        te = t if t <= 5 else 1  # all envs auto-reset together at t=5
+        assert res.obs["pix"].dtype == np.uint8
+        np.testing.assert_array_equal(res.obs["pix"], te % 256)
+        np.testing.assert_allclose(res.obs["vec"], float(te))
+        np.testing.assert_allclose(res.reward, [0.0, 1.0, 2.0])
+        if te == 5:
+            assert res.terminated.all()
+            np.testing.assert_array_equal(carry["pix"], 0)  # reset obs
+        else:
+            assert not res.terminated.any()
+    venv.close()
+
+
+def test_farm_process_restart_resumes():
+    """Kill the farm process mid-run, restart it on the same port (an
+    external supervisor's job): the learner transparently reconnects and
+    the in-flight step is re-issued (at-least-once) — the analog of a Ray
+    actor restart."""
+    port = _free_port()
+    proc = _spawn_farm("CartPole-v1", 4, port)
+    venv = _connect([f"127.0.0.1:{port}"])
+    venv.reset(seed=0)
+    res, _ = venv.step(np.zeros(4, np.int32))
+    assert res.obs.shape == (4, 4)
+    proc.kill()
+    proc.wait()
+    proc2 = _spawn_farm("CartPole-v1", 4, port)
+    try:
+        # next step sees the dead socket, reconnects (bounded retry), and
+        # succeeds against the fresh farm
+        res, carry = venv.step(np.ones(4, np.int32))
+        assert res.obs.shape == (4, 4) and carry.shape == (4, 4)
+        venv.close()
+    finally:
+        proc2.kill()
+        proc2.wait()
+
+
+class _CrashOnceEnv:
+    """Env whose step raises exactly once per process (class flag) to
+    exercise the farm-side fleet rebuild."""
+
+    crashed = False
+
+    def __init__(self):
+        import gymnasium as gym
+
+        self.observation_space = gym.spaces.Box(-1, 1, (2,), np.float32)
+        self.action_space = gym.spaces.Discrete(2)
+        self.t = 0
+
+    def reset(self, seed=None, options=None):
+        self.t = 0
+        return np.zeros(2, np.float32), {}
+
+    def step(self, act):
+        if int(act) == 1 and not _CrashOnceEnv.crashed:
+            _CrashOnceEnv.crashed = True
+            raise RuntimeError("simulated env crash")
+        self.t += 1
+        return np.full(2, self.t, np.float32), 1.0, False, self.t >= 50, {}
+
+    def close(self):
+        pass
+
+
+def test_env_crash_rebuilds_fleet():
+    """An env exception inside the farm rebuilds the fleet and drops the
+    connection; the client's retry lands on the rebuilt (reset) fleet."""
+    _CrashOnceEnv.crashed = False
+    port = _free_port()
+    _serve_in_thread([_CrashOnceEnv for _ in range(2)], port)
+    venv = _connect([f"127.0.0.1:{port}"])
+    venv.reset(seed=0)
+    res, _ = venv.step(np.zeros(2, np.int32))
+    np.testing.assert_allclose(res.obs, 1.0)
+    # this step crashes env 0 server-side; the retried request steps the
+    # REBUILT fleet from its reset state -> obs counts restart at 1
+    res, _ = venv.step(np.array([1, 0], np.int32))
+    np.testing.assert_allclose(res.obs, 1.0)
+    res, _ = venv.step(np.zeros(2, np.int32))
+    np.testing.assert_allclose(res.obs, 2.0)
+    venv.close()

@@ -33,8 +33,14 @@ def space_from_gym(space) -> Any:
     """Convert a gymnasium space to our static space spec."""
     if isinstance(space, (Discrete, Box, MultiDiscrete)):
         return space  # already a native spec (e.g. PettingZooEnv adapter)
+    if isinstance(space, dict):
+        return {k: space_from_gym(v) for k, v in space.items()}
     import gymnasium as gym
 
+    if isinstance(space, gym.spaces.Dict):
+        # dict observations (goal envs, MARL convention) -> plain dict of
+        # native specs, stacked leaf-wise by _stack_obs
+        return {k: space_from_gym(v) for k, v in space.spaces.items()}
     if isinstance(space, gym.spaces.Discrete):
         return Discrete(int(space.n))
     if isinstance(space, gym.spaces.MultiDiscrete):

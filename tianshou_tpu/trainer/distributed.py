@@ -170,6 +170,19 @@ class DistributedOffPolicyTrainer:
         if is_per:
             import inspect
 
+            # catch the base-class implementation (returns None) up front:
+            # without this, an unsupported algorithm would die much later
+            # with an opaque TypeError inside update_priorities
+            if inspect.unwrap(
+                type(self.algo).priority_scores
+            ) is inspect.unwrap(Algorithm.priority_scores):
+                raise TypeError(
+                    f"{type(self.algo).__name__} does not implement "
+                    "priority_scores(), which distributed PER requires for "
+                    "process-local priority write-back; use a uniform "
+                    "ReplayBuffer or implement priority_scores on the "
+                    "algorithm (see algos/base.py)."
+                )
             prio_takes_offset = (
                 "row_offset"
                 in inspect.signature(self.algo.priority_scores).parameters

@@ -273,13 +273,25 @@ class OffPolicyTrainer:
         """
         if self.fused_fine_host is False:
             return False
-        return (
-            self.segment_len == 1
-            and not self.pipeline_host_updates
-            and not isinstance(self.train_collector.obs, dict)
-            and "policy" not in traj
-            and self.train_collector.reward_metric is None
-        )
+        conditions = {
+            "step_per_collect == num_envs (one step per env per cycle)":
+                self.segment_len == 1,
+            "pipeline_host_updates is off":
+                not self.pipeline_host_updates,
+            "flat (non-dict) observations":
+                not isinstance(self.train_collector.obs, dict),
+            "policy emits no per-step extras":
+                "policy" not in traj,
+            "no MARL reward_metric":
+                self.train_collector.reward_metric is None,
+        }
+        failed = [name for name, ok in conditions.items() if not ok]
+        if failed and self.fused_fine_host is True:
+            raise ValueError(
+                "fused_fine_host=True but the fused fine cycle is not "
+                f"applicable; failed condition(s): {'; '.join(failed)}"
+            )
+        return not failed
 
     def _build_fused_cycle(self):
         """Build the fused fine-grained host cycle: ONE jitted program per
@@ -295,6 +307,11 @@ class OffPolicyTrainer:
         (docs/PERFORMANCE.md round-4 host-path notes).  Semantics are
         strictly sequential — actions always come from the post-update
         parameters, exactly like the reference's collect -> update loop.
+        Because the action for step s+1 is computed inside cycle s, the
+        caller passes the exploration-schedule value for the step the
+        action EXECUTES at (``train_param_fn(epoch, env_step +
+        steps_per_segment)``), keeping epsilon/noise schedules exactly
+        aligned with the reference's per-step evaluation.
         """
         algo, buffer = self.algo, self.buffer
         updates_fn = build_update_scan(
@@ -520,8 +537,17 @@ class OffPolicyTrainer:
                                 dict(zip(metrics.keys(), vals.tolist()))
                             )
                         seg_count += 1
+                        # the action computed INSIDE this cycle executes at
+                        # env_step + steps_per_segment, so it gets the
+                        # schedule value for THAT step (exact reference
+                        # exploration-schedule alignment)
+                        next_param = float(
+                            self.train_param_fn(
+                                epoch, env_step + self.steps_per_segment
+                            )
+                        )
                         ts, bstate, metrics, stats = engine.segment(
-                            ts, bstate, seg_count, explore_param
+                            ts, bstate, seg_count, next_param
                         )
                     else:
                         key, k_u = jax.random.split(key)
