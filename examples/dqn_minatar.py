@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--game", default="breakout",
-                   choices=["breakout", "space_invaders", "freeway", "asterix"])
+                   choices=["breakout", "space_invaders", "freeway", "asterix", "seaquest"])
     p.add_argument("--platform", default=None)
     p.add_argument("--num-envs", type=int, default=32)
     p.add_argument("--buffer-size", type=int, default=100_000)

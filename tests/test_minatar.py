@@ -17,12 +17,13 @@ from tianshou_tpu.envs.minatar import (
     Asterix,
     Breakout,
     Freeway,
+    Seaquest,
     SpaceInvaders,
     make_minatar,
 )
 from tianshou_tpu.networks import ConvDuelingQNet, ConvQNet, MinAtarCNN, NatureCNN
 
-ALL_GAMES = ["breakout", "space_invaders", "freeway", "asterix"]
+ALL_GAMES = ["breakout", "space_invaders", "freeway", "asterix", "seaquest"]
 
 
 @pytest.mark.parametrize("name", ALL_GAMES)
@@ -222,3 +223,126 @@ def test_conv_q_heads():
     # dueling identifiability: advantages are mean-centered, so for a
     # single state the Q-values minus their mean equal the advantage head
     assert jnp.isfinite(out).all()
+
+
+# -- Seaquest dynamics (5th MinAtar game, VERDICT r4 item 7) -----------------
+
+
+def _sq():
+    return Seaquest(sticky_prob=0.0)
+
+
+def _sq_state(env, **overrides):
+    state, _ = env.reset(jax.random.key(0))
+    return state._replace(**{k: jnp.asarray(v) for k, v in overrides.items()})
+
+
+def test_seaquest_shapes_and_movement():
+    env = _sq()
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (10, 10, 9)
+    # dive, then move right: facing flips to +1 and x advances
+    state, _ = env.step(state, jnp.asarray(4))  # down
+    assert int(state.sub_y) == 1
+    x0 = int(state.sub_x)
+    state, _ = env.step(state, jnp.asarray(3))  # right
+    assert int(state.sub_x) == x0 + 1 and int(state.sub_or) == 1
+    state, _ = env.step(state, jnp.asarray(1))  # left
+    assert int(state.sub_x) == x0 and int(state.sub_or) == -1
+
+
+def test_seaquest_bullet_kills_fish_scores():
+    env = _sq()
+    st = _sq_state(
+        env,
+        sub_y=3, sub_x=2, sub_or=1, surfaced=False,
+        # a fish 3 cells to the right in the same lane, not moving soon
+        en_exists=jnp.zeros(8, bool).at[0].set(True),
+        en_x=jnp.zeros(8, jnp.int32).at[0].set(6),
+        en_y=jnp.ones(8, jnp.int32) * 3,
+        en_dir=jnp.zeros(8, jnp.int32),  # static for the test
+        en_move_timer=jnp.asarray(100, jnp.int32),
+        en_spawn_timer=jnp.asarray(100, jnp.int32),
+        dv_spawn_timer=jnp.asarray(100, jnp.int32),
+    )
+    st, res = env.step(st, jnp.asarray(5))  # fire -> bullet at (3,2) moves right
+    total = float(res.reward)
+    for _ in range(5):
+        st, res = env.step(st, jnp.asarray(0))
+        total += float(res.reward)
+        if res.terminated:
+            break
+    assert total == 1.0  # fish at x=6 destroyed by the travelling bullet
+    assert not bool(st.en_exists[0])
+
+
+def test_seaquest_oxygen_depletes_and_kills():
+    env = Seaquest(sticky_prob=0.0)
+    st = _sq_state(env, sub_y=5, surfaced=False, oxygen=2,
+                   en_spawn_timer=jnp.asarray(10_000, jnp.int32))
+    st, res = env.step(st, jnp.asarray(0))
+    assert not bool(res.terminated)
+    st, res = env.step(st, jnp.asarray(0))
+    st, res2 = env.step(st, jnp.asarray(0))
+    assert bool(res2.terminated)  # oxygen < 0
+
+
+def test_seaquest_surface_no_divers_terminal():
+    env = _sq()
+    st = _sq_state(env, sub_y=1, surfaced=False, diver_count=0)
+    st, res = env.step(st, jnp.asarray(2))  # up to the surface with no divers
+    assert bool(res.terminated)
+
+
+def test_seaquest_surface_with_divers_drops_one_and_refills():
+    env = _sq()
+    st = _sq_state(env, sub_y=1, surfaced=False, diver_count=3, oxygen=17)
+    st, res = env.step(st, jnp.asarray(2))
+    assert not bool(res.terminated)
+    assert int(st.diver_count) == 2
+    assert int(st.oxygen) == env.MAX_OXYGEN
+    assert float(res.reward) == 0.0
+
+
+def test_seaquest_surface_with_six_divers_banks_reward_and_ramps():
+    env = _sq()
+    st = _sq_state(env, sub_y=1, surfaced=False, diver_count=6,
+                   oxygen=env.MAX_OXYGEN)
+    interval0 = int(st.en_spawn_interval)
+    st, res = env.step(st, jnp.asarray(2))
+    assert float(res.reward) >= 9.0  # oxygen*10//200 with near-full oxygen
+    assert int(st.diver_count) == 0
+    assert int(st.en_spawn_interval) == interval0 - 1
+
+
+def test_seaquest_diver_collection():
+    env = _sq()
+    st = _sq_state(
+        env,
+        sub_y=4, sub_x=5, surfaced=False,
+        dv_exists=jnp.zeros(4, bool).at[0].set(True),
+        dv_x=jnp.zeros(4, jnp.int32).at[0].set(4),
+        dv_y=jnp.ones(4, jnp.int32) * 4,
+        dv_dir=jnp.zeros(4, jnp.int32),
+        dv_move_timer=jnp.asarray(100, jnp.int32),
+        en_spawn_timer=jnp.asarray(100, jnp.int32),
+        dv_spawn_timer=jnp.asarray(100, jnp.int32),
+    )
+    st, res = env.step(st, jnp.asarray(1))  # move left onto the diver
+    assert int(st.diver_count) == 1
+    assert not bool(st.dv_exists[0])
+
+
+def test_seaquest_enemy_contact_terminal():
+    env = _sq()
+    st = _sq_state(
+        env,
+        sub_y=4, sub_x=5, surfaced=False,
+        en_exists=jnp.zeros(8, bool).at[0].set(True),
+        en_x=jnp.zeros(8, jnp.int32).at[0].set(4),
+        en_y=jnp.ones(8, jnp.int32) * 4,
+        en_dir=jnp.zeros(8, jnp.int32),
+        en_move_timer=jnp.asarray(100, jnp.int32),
+    )
+    st, res = env.step(st, jnp.asarray(1))  # step into the fish
+    assert bool(res.terminated)

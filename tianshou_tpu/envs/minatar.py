@@ -1,5 +1,5 @@
 """Pure-JAX MinAtar-style pixel environments (Breakout, SpaceInvaders,
-Freeway, Asterix).
+Freeway, Asterix, Seaquest — the full 5-game MinAtar suite).
 
 The reference's Atari support is an external dependency stack (ALE +
 ``examples/atari/atari_wrapper.py`` preprocessing + EnvPool); the image here
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from tianshou_tpu.envs.base import JaxEnv, StepResult
 from tianshou_tpu.envs.spaces import Box, Discrete
 
-__all__ = ["Breakout", "SpaceInvaders", "Freeway", "Asterix", "make_minatar"]
+__all__ = ["Breakout", "SpaceInvaders", "Freeway", "Asterix", "Seaquest", "make_minatar"]
 
 SIZE = 10
 
@@ -659,11 +659,338 @@ class Asterix(_StickyMixin, JaxEnv):
 
 
 
+# =====================================================================
+# Seaquest
+# =====================================================================
+class SeaquestState(NamedTuple):
+    sub_x: jax.Array
+    sub_y: jax.Array  # 0 = surface row; 1..8 water lanes
+    sub_or: jax.Array  # +-1 facing (bullet direction)
+    f_bul_l: jax.Array  # [10,10] bool friendly bullets moving left
+    f_bul_r: jax.Array
+    e_bul_l: jax.Array  # [10,10] bool enemy bullets
+    e_bul_r: jax.Array
+    en_exists: jax.Array  # [8] enemy slots
+    en_x: jax.Array
+    en_y: jax.Array  # lane rows 1..8
+    en_dir: jax.Array
+    en_sub: jax.Array  # [8] bool: enemy submarine (shoots) vs fish
+    dv_exists: jax.Array  # [4] diver slots
+    dv_x: jax.Array
+    dv_y: jax.Array
+    dv_dir: jax.Array
+    oxygen: jax.Array
+    diver_count: jax.Array
+    surfaced: jax.Array  # bool: already processed this surface visit
+    shot_cd: jax.Array
+    en_move_timer: jax.Array
+    en_shot_timer: jax.Array
+    en_spawn_timer: jax.Array
+    en_spawn_interval: jax.Array  # ramps down on 6-diver surfacing
+    dv_move_timer: jax.Array
+    dv_spawn_timer: jax.Array
+    last_action: jax.Array
+    t: jax.Array
+    key: jax.Array
+
+
+class Seaquest(_StickyMixin, JaxEnv):
+    """MinAtar Seaquest: pilot a submarine through 8 water lanes, shoot
+    fish and enemy subs, rescue divers, and surface before oxygen runs
+    out (Young & Tian 2019, the 5th game of the MinAtar suite).
+
+    Mechanics (from the published description, slot-based fixed shapes):
+    rows 1..8 are water lanes, row 0 the surface, row 9 the gauge row.
+    Enemies (20% shooting submarines, else fish) and divers spawn on
+    timers at a random free slot/lane/side and sweep horizontally.
+    Firing (cooldown 5) launches a horizontal bullet in the facing
+    direction; +1 per enemy destroyed.  Touching an enemy or an enemy
+    bullet is terminal.  Oxygen (200) depletes every submerged frame;
+    surfacing with no divers, or running dry, is terminal; surfacing
+    with 6 divers banks ``oxygen*10//200`` reward, resets the divers and
+    ramps enemy spawning; with 1-5 divers it silently drops one diver
+    and refills oxygen.
+
+    Channels: 0=sub, 1=sub trail (facing), 2=friendly bullet, 3=enemy
+    bullet, 4=fish, 5=enemy sub, 6=diver, 7=oxygen gauge (row 9 left),
+    8=diver gauge (row 9 right).  Actions (MinAtar order): 0=noop,
+    1=left, 2=up, 3=right, 4=down, 5=fire.
+    """
+
+    action_space = Discrete(6)
+    observation_space = Box(low=0.0, high=1.0, shape=(SIZE, SIZE, 9))
+    MAX_OXYGEN = 200
+    SHOT_COOLDOWN = 5
+    ENEMY_SHOT_INTERVAL = 10
+    ENEMY_MOVE_INTERVAL = 5
+    DIVER_MOVE_INTERVAL = 5
+    INIT_SPAWN_INTERVAL = 20
+    MIN_SPAWN_INTERVAL = 10
+    DIVER_SPAWN_INTERVAL = 30
+    MAX_DIVERS = 6
+    SUB_PROB = 0.2
+    N_ENEMY = 8
+    N_DIVER = 4
+
+    def __init__(self, sticky_prob: float = 0.1, max_steps: int = 2500):
+        self.sticky_prob = sticky_prob
+        self.max_steps = max_steps
+
+    def reset(self, key: jax.Array):
+        key, _ = jax.random.split(key)
+        ne, nd = self.N_ENEMY, self.N_DIVER
+        st = SeaquestState(
+            sub_x=jnp.asarray(SIZE // 2, jnp.int32),
+            sub_y=jnp.asarray(0, jnp.int32),
+            sub_or=jnp.asarray(1, jnp.int32),
+            f_bul_l=jnp.zeros((SIZE, SIZE), bool),
+            f_bul_r=jnp.zeros((SIZE, SIZE), bool),
+            e_bul_l=jnp.zeros((SIZE, SIZE), bool),
+            e_bul_r=jnp.zeros((SIZE, SIZE), bool),
+            en_exists=jnp.zeros((ne,), bool),
+            en_x=jnp.zeros((ne,), jnp.int32),
+            en_y=jnp.ones((ne,), jnp.int32),
+            en_dir=jnp.ones((ne,), jnp.int32),
+            en_sub=jnp.zeros((ne,), bool),
+            dv_exists=jnp.zeros((nd,), bool),
+            dv_x=jnp.zeros((nd,), jnp.int32),
+            dv_y=jnp.ones((nd,), jnp.int32),
+            dv_dir=jnp.ones((nd,), jnp.int32),
+            oxygen=jnp.asarray(self.MAX_OXYGEN, jnp.int32),
+            diver_count=jnp.zeros((), jnp.int32),
+            surfaced=jnp.asarray(True),  # starting on the surface row
+            shot_cd=jnp.zeros((), jnp.int32),
+            en_move_timer=jnp.asarray(self.ENEMY_MOVE_INTERVAL, jnp.int32),
+            en_shot_timer=jnp.asarray(self.ENEMY_SHOT_INTERVAL, jnp.int32),
+            en_spawn_timer=jnp.asarray(self.INIT_SPAWN_INTERVAL, jnp.int32),
+            en_spawn_interval=jnp.asarray(self.INIT_SPAWN_INTERVAL, jnp.int32),
+            dv_move_timer=jnp.asarray(self.DIVER_MOVE_INTERVAL, jnp.int32),
+            dv_spawn_timer=jnp.asarray(self.DIVER_SPAWN_INTERVAL, jnp.int32),
+            last_action=jnp.zeros((), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+        return st, self._obs(st)
+
+    def _slot_plane(self, exists, x, y) -> jax.Array:
+        return jnp.zeros((SIZE, SIZE), bool).at[y, x].max(exists)
+
+    def _obs(self, s: SeaquestState) -> jax.Array:
+        sub = _one_hot_plane(s.sub_x, s.sub_y)
+        trail = _one_hot_plane(
+            jnp.clip(s.sub_x - s.sub_or, 0, SIZE - 1), s.sub_y
+        )
+        f_bul = s.f_bul_l | s.f_bul_r
+        e_bul = s.e_bul_l | s.e_bul_r
+        fish = self._slot_plane(s.en_exists & ~s.en_sub, s.en_x, s.en_y)
+        esub = self._slot_plane(s.en_exists & s.en_sub, s.en_x, s.en_y)
+        diver = self._slot_plane(s.dv_exists, s.dv_x, s.dv_y)
+        # gauges live on row 9: oxygen fills left-to-right, divers
+        # right-to-left (the MinAtar dashboard convention)
+        cols = jnp.arange(SIZE)
+        ox_cells = (s.oxygen * SIZE) // self.MAX_OXYGEN
+        ox_plane = jnp.zeros((SIZE, SIZE), bool).at[SIZE - 1].set(cols < ox_cells)
+        dv_plane = (
+            jnp.zeros((SIZE, SIZE), bool)
+            .at[SIZE - 1]
+            .set(cols >= SIZE - s.diver_count)
+        )
+        return _grid(sub, trail, f_bul, e_bul, fish, esub, diver, ox_plane, dv_plane)
+
+    @staticmethod
+    def _shift_x(plane: jax.Array, dx: int) -> jax.Array:
+        return SpaceInvaders._shift(plane, jnp.asarray(0), jnp.asarray(dx))
+
+    def step(self, state: SeaquestState, action: jax.Array):
+        key, k_sticky, k_slot, k_lane, k_side, k_kind, k_dslot, k_dlane, k_dside = (
+            jax.random.split(state.key, 9)
+        )
+        action = self._apply_sticky(k_sticky, action, state.last_action)
+
+        # -- submarine move + facing (row 9 is the gauge row, y <= 8)
+        dx = jnp.where(action == 1, -1, 0) + jnp.where(action == 3, 1, 0)
+        dy = jnp.where(action == 2, -1, 0) + jnp.where(action == 4, 1, 0)
+        sub_x = jnp.clip(state.sub_x + dx, 0, SIZE - 1).astype(jnp.int32)
+        sub_y = jnp.clip(state.sub_y + dy, 0, SIZE - 2).astype(jnp.int32)
+        sub_or = jnp.where(dx != 0, jnp.sign(dx), state.sub_or).astype(jnp.int32)
+
+        # -- fire (rate-limited, horizontal, facing direction)
+        fire = (action == 5) & (state.shot_cd == 0)
+        f_bul_l = state.f_bul_l.at[sub_y, sub_x].max(fire & (sub_or < 0))
+        f_bul_r = state.f_bul_r.at[sub_y, sub_x].max(fire & (sub_or > 0))
+        shot_cd = jnp.where(
+            fire, self.SHOT_COOLDOWN, jnp.maximum(state.shot_cd - 1, 0)
+        ).astype(jnp.int32)
+
+        # -- bullets advance
+        f_bul_l = self._shift_x(f_bul_l, -1)
+        f_bul_r = self._shift_x(f_bul_r, 1)
+        e_bul_l = self._shift_x(state.e_bul_l, -1)
+        e_bul_r = self._shift_x(state.e_bul_r, 1)
+
+        # -- enemies advance on the shared timer; off-grid despawns
+        tick = state.en_move_timer <= 0
+        nx = state.en_x + jnp.where(tick, state.en_dir, 0)
+        out = (nx < 0) | (nx >= SIZE)
+        en_exists = state.en_exists & ~(out & tick)
+        en_x = jnp.clip(nx, 0, SIZE - 1).astype(jnp.int32)
+        en_move_timer = jnp.where(
+            tick, self.ENEMY_MOVE_INTERVAL, state.en_move_timer - 1
+        ).astype(jnp.int32)
+
+        # -- friendly bullet hits (after both moved): +1 per enemy
+        f_bul = f_bul_l | f_bul_r
+        hit = en_exists & f_bul[state.en_y, en_x]
+        reward = hit.sum().astype(jnp.float32)
+        en_exists = en_exists & ~hit
+        # consume the bullet cells that struck
+        strike = self._slot_plane(hit, en_x, state.en_y)
+        f_bul_l = f_bul_l & ~strike
+        f_bul_r = f_bul_r & ~strike
+
+        # -- enemy subs fire on the shared timer (from their post-move cell)
+        shoot = state.en_shot_timer <= 0
+        subs = en_exists & state.en_sub & shoot
+        e_bul_l = e_bul_l | self._slot_plane(subs & (state.en_dir < 0), en_x, state.en_y)
+        e_bul_r = e_bul_r | self._slot_plane(subs & (state.en_dir > 0), en_x, state.en_y)
+        en_shot_timer = jnp.where(
+            shoot, self.ENEMY_SHOT_INTERVAL, state.en_shot_timer - 1
+        ).astype(jnp.int32)
+
+        # -- enemy spawn: random free slot / lane / side, 20% shooting sub
+        spawn = (state.en_spawn_timer <= 0) & (~en_exists).any()
+        g = jax.random.gumbel(k_slot, (self.N_ENEMY,))
+        slot = jnp.argmax(jnp.where(~en_exists, g, -jnp.inf))
+        lane = jax.random.randint(k_lane, (), 1, 9)
+        from_left = jax.random.bernoulli(k_side)
+        is_sub = jax.random.uniform(k_kind) < self.SUB_PROB
+        en_exists = en_exists.at[slot].set(en_exists[slot] | spawn)
+        en_x = en_x.at[slot].set(
+            jnp.where(spawn, jnp.where(from_left, 0, SIZE - 1), en_x[slot])
+        )
+        en_y = state.en_y.at[slot].set(jnp.where(spawn, lane, state.en_y[slot]))
+        en_dir = state.en_dir.at[slot].set(
+            jnp.where(spawn, jnp.where(from_left, 1, -1), state.en_dir[slot])
+        )
+        en_sub = state.en_sub.at[slot].set(
+            jnp.where(spawn, is_sub, state.en_sub[slot])
+        )
+        en_spawn_timer = jnp.where(
+            state.en_spawn_timer <= 0,
+            state.en_spawn_interval,
+            state.en_spawn_timer - 1,
+        ).astype(jnp.int32)
+
+        # -- divers advance / spawn / get collected
+        dtick = state.dv_move_timer <= 0
+        dnx = state.dv_x + jnp.where(dtick, state.dv_dir, 0)
+        dout = (dnx < 0) | (dnx >= SIZE)
+        dv_exists = state.dv_exists & ~(dout & dtick)
+        dv_x = jnp.clip(dnx, 0, SIZE - 1).astype(jnp.int32)
+        dv_move_timer = jnp.where(
+            dtick, self.DIVER_MOVE_INTERVAL, state.dv_move_timer - 1
+        ).astype(jnp.int32)
+        dspawn = (state.dv_spawn_timer <= 0) & (~dv_exists).any()
+        dg = jax.random.gumbel(k_dslot, (self.N_DIVER,))
+        dslot = jnp.argmax(jnp.where(~dv_exists, dg, -jnp.inf))
+        dlane = jax.random.randint(k_dlane, (), 1, 9)
+        d_left = jax.random.bernoulli(k_dside)
+        dv_exists = dv_exists.at[dslot].set(dv_exists[dslot] | dspawn)
+        dv_x = dv_x.at[dslot].set(
+            jnp.where(dspawn, jnp.where(d_left, 0, SIZE - 1), dv_x[dslot])
+        )
+        dv_y = state.dv_y.at[dslot].set(jnp.where(dspawn, dlane, state.dv_y[dslot]))
+        dv_dir = state.dv_dir.at[dslot].set(
+            jnp.where(dspawn, jnp.where(d_left, 1, -1), state.dv_dir[dslot])
+        )
+        dv_spawn_timer = jnp.where(
+            state.dv_spawn_timer <= 0,
+            self.DIVER_SPAWN_INTERVAL,
+            state.dv_spawn_timer - 1,
+        ).astype(jnp.int32)
+        caught = dv_exists & (dv_x == sub_x) & (dv_y == sub_y)
+        room = state.diver_count < self.MAX_DIVERS
+        collected = jnp.where(room, caught.sum(), 0)
+        diver_count = jnp.minimum(
+            state.diver_count + collected, self.MAX_DIVERS
+        ).astype(jnp.int32)
+        dv_exists = dv_exists & ~(caught & room)
+
+        # -- lethal contacts
+        hit_enemy = (en_exists & (en_x == sub_x) & (en_y == sub_y)).any()
+        hit_bullet = (e_bul_l | e_bul_r)[sub_y, sub_x]
+
+        # -- oxygen / surfacing
+        submerged = sub_y > 0
+        oxygen = jnp.where(submerged, state.oxygen - 1, state.oxygen).astype(
+            jnp.int32
+        )
+        out_of_air = oxygen < 0
+        fresh_surface = ~submerged & ~state.surfaced
+        drowned_crew = fresh_surface & (diver_count == 0)
+        banked = fresh_surface & (diver_count == self.MAX_DIVERS)
+        reward += jnp.where(
+            banked, (oxygen * 10 // self.MAX_OXYGEN).astype(jnp.float32), 0.0
+        )
+        dropped = fresh_surface & ~banked & (diver_count > 0)
+        diver_count = jnp.where(
+            banked, 0, diver_count - dropped.astype(jnp.int32)
+        ).astype(jnp.int32)
+        en_spawn_interval = jnp.where(
+            banked,
+            jnp.maximum(state.en_spawn_interval - 1, self.MIN_SPAWN_INTERVAL),
+            state.en_spawn_interval,
+        ).astype(jnp.int32)
+        oxygen = jnp.where(
+            fresh_surface & (diver_count >= 0) & ~drowned_crew,
+            self.MAX_OXYGEN,
+            oxygen,
+        ).astype(jnp.int32)
+        surfaced = ~submerged
+
+        terminated = hit_enemy | hit_bullet | out_of_air | drowned_crew
+        t = state.t + 1
+        truncated = (t >= self.max_steps) & ~terminated
+        new = SeaquestState(
+            sub_x=sub_x,
+            sub_y=sub_y,
+            sub_or=sub_or,
+            f_bul_l=f_bul_l,
+            f_bul_r=f_bul_r,
+            e_bul_l=e_bul_l,
+            e_bul_r=e_bul_r,
+            en_exists=en_exists,
+            en_x=en_x,
+            en_y=en_y,
+            en_dir=en_dir.astype(jnp.int32),
+            en_sub=en_sub,
+            dv_exists=dv_exists,
+            dv_x=dv_x,
+            dv_y=dv_y,
+            dv_dir=dv_dir.astype(jnp.int32),
+            oxygen=oxygen,
+            diver_count=diver_count,
+            surfaced=surfaced,
+            shot_cd=shot_cd,
+            en_move_timer=en_move_timer,
+            en_shot_timer=en_shot_timer,
+            en_spawn_timer=en_spawn_timer,
+            en_spawn_interval=en_spawn_interval,
+            dv_move_timer=dv_move_timer,
+            dv_spawn_timer=dv_spawn_timer,
+            last_action=action,
+            t=t,
+            key=key,
+        )
+        return new, StepResult(self._obs(new), reward, terminated, truncated)
+
+
 _REGISTRY = {
     "breakout": Breakout,
     "space_invaders": SpaceInvaders,
     "freeway": Freeway,
     "asterix": Asterix,
+    "seaquest": Seaquest,
 }
 
 
