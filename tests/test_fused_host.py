@@ -219,3 +219,81 @@ def test_fused_cycle_sac_pendulum_learns():
     test_venv.close()
     assert trainer.last_run_used_fused
     assert info.stop_triggered, f"best={info.best_reward}"
+
+
+def _count_transfers_for(num_cycles: int) -> tuple[int, int]:
+    """Run `num_cycles` fused cycles; return (device_put calls, jitted
+    dispatches) observed during the whole trainer run."""
+    make = lambda: gym.make("Pendulum-v1")
+    n_envs = 2
+    train_venv = HostVectorEnv([make for _ in range(n_envs)])
+    test_venv = HostVectorEnv([make for _ in range(n_envs)])
+    act_space = space_from_gym(train_venv.action_space)
+    algo = DDPG(
+        DeterministicActor((16,), 1),
+        CriticEnsemble((16,), num_critics=1),
+        act_space,
+    )
+    buffer = ReplayBuffer(capacity=64, num_envs=n_envs)
+    trainer = OffPolicyTrainer(
+        algo,
+        HostCollector(algo, train_venv, buffer),
+        HostCollector(algo, test_venv),
+        buffer,
+        max_epoch=1,
+        step_per_epoch=num_cycles * n_envs,
+        step_per_collect=n_envs,
+        update_per_step=1.0,
+        batch_size=4,
+        episode_per_test=1,
+        warmup_steps=0,
+        seed=0,
+    )
+    puts = dispatches = 0
+    real_put = jax.device_put
+    real_jit = jax.jit
+
+    def counting_put(*a, **k):
+        nonlocal puts
+        puts += 1
+        return real_put(*a, **k)
+
+    def counting_jit(fn, *a, **k):
+        jitted = real_jit(fn, *a, **k)
+
+        def wrapped(*ca, **ck):
+            nonlocal dispatches
+            dispatches += 1
+            return jitted(*ca, **ck)
+
+        wrapped.lower = jitted.lower  # AOT path passthrough
+        return wrapped
+
+    jax.device_put = counting_put
+    jax.jit = counting_jit
+    try:
+        trainer.run()
+    finally:
+        jax.device_put = real_put
+        jax.jit = real_jit
+    assert trainer.last_run_used_fused
+    train_venv.close()
+    test_venv.close()
+    return puts, dispatches
+
+
+def test_fused_cycle_single_transfer_per_cycle():
+    """Perf regression guard (round-4 Walker2d lesson): the fused fine cycle
+    must stay ONE host->device feed and ONE jitted program dispatch per
+    collect/update cycle — the 3-round-trip segmented shape (param sync +
+    trajectory upload + separate update dispatch) must not silently creep
+    back in.  Measured differentially so setup-time transfers cancel."""
+    p5, d5 = _count_transfers_for(5)
+    p12, d12 = _count_transfers_for(12)
+    extra_cycles = 12 - 5
+    assert p12 - p5 == extra_cycles, (
+        f"{(p12 - p5) / extra_cycles:.1f} device_put per cycle (want 1)"
+    )
+    assert d12 - d5 == extra_cycles, (
+        f"{(d12 - d5) / extra_cycles:.1f} dispatches per cycle (want 1)"
+    )
