@@ -420,3 +420,42 @@ def test_tree_packer_int_edge_values():
     p = TreePacker(ex)
     out = p.unpack(p.pack(ex))
     np.testing.assert_array_equal(np.asarray(out["v"]), vals)
+
+
+# -- AOT executable cache (utils/aot_cache.py) -------------------------------
+
+
+def test_aot_cache_roundtrip(tmp_path, monkeypatch):
+    """serialize_executable-backed store: hit returns a runnable executable
+    with identical outputs; corrupt entries self-heal to a miss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.utils import aot_cache
+
+    monkeypatch.setenv("TIANSHOU_TPU_AOT_CACHE", str(tmp_path))
+
+    def f(x, y):
+        return jnp.tanh(x @ y).sum(axis=1), x + 1.0
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    y = jnp.ones((4, 5))
+    lowered = jax.jit(f).lower(x, y)
+    key = aot_cache.aot_cache_key(lowered, extra="test")
+    assert aot_cache.load_compiled(key) is None  # cold miss
+    compiled = aot_cache.compile_uncached(lowered)
+    o1 = compiled(x, y)
+    assert aot_cache.store_compiled(key, compiled)
+    c2 = aot_cache.load_compiled(key)
+    assert c2 is not None
+    o2 = c2(x, y)
+    np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]))
+    # key depends on the program: a different function misses
+    lowered_b = jax.jit(lambda x, y: (x @ y, x)).lower(x, y)
+    assert aot_cache.aot_cache_key(lowered_b, extra="test") != key
+    # corrupt the entry -> load self-heals to a miss and removes the file
+    path = tmp_path / (key + ".pkl")
+    path.write_bytes(b"garbage")
+    assert aot_cache.load_compiled(key) is None
+    assert not path.exists()

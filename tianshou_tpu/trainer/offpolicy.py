@@ -222,16 +222,22 @@ class OffPolicyTrainer:
         layout control."""
         example = (ts, cstate, bstate, jax.random.key(0), 0.0)
         jitted = self._build_superstep(auto_layout=True)
-        # OPT-IN (TIANSHOU_TPU_AUTO_LAYOUT=1): round-4 measurements show
-        # AUTO layouts cut the atari-scale superstep 48->42 ms (the two
-        # whole-ring transposing copies vanish), but the persistent
-        # compilation cache cannot round-trip AUTO-layout executables on
-        # this backend — cache reads fail with INVALID_ARGUMENT and can
-        # poison same-named entries — so the default stays on the plain
-        # deterministic path.  Full story: docs/PERFORMANCE.md round 4.
+        # AUTO layouts cut the atari-scale superstep 48->42 ms (+14%: the
+        # two whole-ring transposing copies vanish; round-4 trace).  XLA's
+        # persistent cache cannot round-trip AUTO-layout executables on
+        # this backend (INVALID_ARGUMENT reads that poison same-named
+        # entries), so AUTO executables are cached through the framework's
+        # own serialize_executable store (utils/aot_cache.py) and the XLA
+        # cache is disabled around their compiles.  Modes
+        # (TIANSHOU_TPU_AUTO_LAYOUT): unset/"1" = DEFAULT, use AUTO when
+        # the executable is already in the AOT cache, else plain (no
+        # surprise multi-minute cold conv compiles); "compile" = build and
+        # cache the AUTO executable now (bench warm-up / first run on new
+        # shapes); "0" = never.  Full story: docs/PERFORMANCE.md.
         import os as _os
 
-        if _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT") != "1":
+        mode = _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT", "1")
+        if mode == "0":
             return jitted.lower(*example).compile()
         try:
             import jax.numpy as jnp
@@ -239,13 +245,27 @@ class OffPolicyTrainer:
             from jax._src.layout import AutoLayout
             from jax.experimental.layout import Format
 
+            from tianshou_tpu.utils.aot_cache import (
+                aot_cache_key,
+                compile_uncached,
+                load_compiled,
+                store_compiled,
+            )
+
             auto = Format(AutoLayout())
-            c = jax.jit(
+            lowered = jax.jit(
                 self._superstep_raw,
                 donate_argnums=(2,),
                 in_shardings=(auto,) * 5,
                 out_shardings=(auto,) * 5,
-            ).lower(*example).compile()
+            ).lower(*example)
+            key = aot_cache_key(lowered, extra="superstep-auto-v1")
+            c = load_compiled(key)
+            if c is None:
+                if mode != "compile":
+                    return jitted.lower(*example).compile()
+                c = compile_uncached(lowered)
+                store_compiled(key, c)
             # Validate the executable actually cycles: XLA may choose
             # DIFFERENT input/output layouts for the carried state, in
             # which case the second call rejects the first call's outputs
