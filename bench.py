@@ -329,28 +329,43 @@ def main():
     import subprocess
 
     stage_timeout = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "240"))
-    for stage, tag in (
-        ("atari", "atari_bench"),
-        ("conv", "conv_bench"),
-        ("host", "host_bench"),
-    ):
+    # The atari stage first tries AUTO parameter layouts (+14% superstep,
+    # docs/PERFORMANCE.md): AUTO executables can only be used by the
+    # process that compiled them on this backend, so the attempt pays an
+    # in-process conv compile (~5 min) under a longer timeout, and any
+    # failure or timeout falls back to the plain warm-cache run below.
+    auto_timeout = float(os.environ.get("BENCH_AUTO_TIMEOUT_S", "720"))
+
+    def run_stage(stage, tag, env_extra=None, timeout=None):
         try:
+            env = dict(os.environ, **(env_extra or {}))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", stage],
-                capture_output=True, text=True, timeout=stage_timeout,
+                capture_output=True, text=True,
+                timeout=timeout or stage_timeout, env=env,
             )
-            emitted = False
             for ln in r.stdout.splitlines():
                 if ln.startswith(tag + ":"):
                     print(ln, flush=True)
-                    emitted = True
-            if not emitted:
-                tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
-                print(f"{tag}: skipped (rc={r.returncode} {tail})", flush=True)
+                    return True
+            tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
+            print(f"{tag}: attempt failed (rc={r.returncode} {tail})", flush=True)
         except subprocess.TimeoutExpired:
-            print(f"{tag}: skipped (timeout {stage_timeout:.0f}s)", flush=True)
+            print(f"{tag}: attempt timed out", flush=True)
         except Exception as e:
-            print(f"{tag}: skipped ({type(e).__name__}: {e})", flush=True)
+            print(f"{tag}: attempt failed ({type(e).__name__}: {e})", flush=True)
+        return False
+
+    if not run_stage(
+        "atari", "atari_bench",
+        env_extra={"TIANSHOU_TPU_AUTO_LAYOUT": "compile"},
+        timeout=auto_timeout,
+    ):
+        if not run_stage("atari", "atari_bench"):
+            print("atari_bench: skipped (both attempts failed)", flush=True)
+    for stage, tag in (("conv", "conv_bench"), ("host", "host_bench")):
+        if not run_stage(stage, tag):
+            print(f"{tag}: skipped", flush=True)
 
     # ---- headline: MLP DQN CartPole pipeline (always runs, always last) ----
     _init_jax()

@@ -223,21 +223,36 @@ class OffPolicyTrainer:
         example = (ts, cstate, bstate, jax.random.key(0), 0.0)
         jitted = self._build_superstep(auto_layout=True)
         # AUTO layouts cut the atari-scale superstep 48->42 ms (+14%: the
-        # two whole-ring transposing copies vanish; round-4 trace).  XLA's
-        # persistent cache cannot round-trip AUTO-layout executables on
-        # this backend (INVALID_ARGUMENT reads that poison same-named
-        # entries), so AUTO executables are cached through the framework's
-        # own serialize_executable store (utils/aot_cache.py) and the XLA
-        # cache is disabled around their compiles.  Modes
-        # (TIANSHOU_TPU_AUTO_LAYOUT): unset/"1" = DEFAULT, use AUTO when
-        # the executable is already in the AOT cache, else plain (no
-        # surprise multi-minute cold conv compiles); "compile" = build and
-        # cache the AUTO executable now (bench warm-up / first run on new
-        # shapes); "0" = never.  Full story: docs/PERFORMANCE.md.
+        # two whole-ring transposing copies vanish; round-4 trace), but
+        # they can only be used by the PROCESS THAT COMPILED them on this
+        # backend, so they are gated behind an explicit mode
+        # (TIANSHOU_TPU_AUTO_LAYOUT):
+        #
+        # - "compile": lower with AUTO in/out layouts and compile fresh,
+        #   in-process, with the XLA persistent cache quarantined (an AUTO
+        #   executable written under a plain entry's key poisons it —
+        #   round-4 failure, reproduced and root-caused this round).  The
+        #   compile costs minutes for conv supersteps and is amortized by
+        #   any real training run; bench.py opts its atari stage in.
+        # - unset/"1"/"0": plain deterministic layouts (persistent-cache
+        #   friendly, sub-second warm compiles).
+        #
+        # Caching AUTO executables ACROSS processes was engineered and is
+        # impossible on this backend: jax.experimental.serialize_executable
+        # round-trips them (verified, incl. uint8 ring + scan + donation +
+        # PRNG keys at >10 MB payloads), but a deserialized executable
+        # demands inputs already in its non-default parameter layouts, and
+        # NOTHING outside an executable can construct those here — device->
+        # device device_put, host->device device_put with an explicit
+        # Format, and a jitted identity with pinned out_shardings all
+        # produce a DIFFERENT physical layout than requested (measured:
+        # asked (3,1,2,0)/(8,128)-tiled, got (1,2,3,0)/(4,128)).  Only the
+        # compiling process's jit entry path can feed it.  Full story:
+        # docs/PERFORMANCE.md.
         import os as _os
 
-        mode = _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT", "1")
-        if mode == "0":
+        mode = _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT", "")
+        if mode != "compile":
             return jitted.lower(*example).compile()
         try:
             import jax.numpy as jnp
@@ -245,12 +260,7 @@ class OffPolicyTrainer:
             from jax._src.layout import AutoLayout
             from jax.experimental.layout import Format
 
-            from tianshou_tpu.utils.aot_cache import (
-                aot_cache_key,
-                compile_uncached,
-                load_compiled,
-                store_compiled,
-            )
+            from tianshou_tpu.utils.aot_cache import compile_uncached
 
             auto = Format(AutoLayout())
             lowered = jax.jit(
@@ -259,13 +269,7 @@ class OffPolicyTrainer:
                 in_shardings=(auto,) * 5,
                 out_shardings=(auto,) * 5,
             ).lower(*example)
-            key = aot_cache_key(lowered, extra="superstep-auto-v1")
-            c = load_compiled(key)
-            if c is None:
-                if mode != "compile":
-                    return jitted.lower(*example).compile()
-                c = compile_uncached(lowered)
-                store_compiled(key, c)
+            c = compile_uncached(lowered)
             # Validate the executable actually cycles: XLA may choose
             # DIFFERENT input/output layouts for the carried state, in
             # which case the second call rejects the first call's outputs
@@ -281,7 +285,12 @@ class OffPolicyTrainer:
             float(jax.tree.leaves(o[4])[0])
             del o, bcopy
             return c
-        except Exception:
+        except Exception as exc:
+            if _os.environ.get("TIANSHOU_TPU_AUTO_DEBUG"):
+                import traceback
+
+                print(f"[auto-layout fallback] {exc!r}", flush=True)
+                traceback.print_exc()
             return jitted.lower(*example).compile()
 
     # ------------------------------------------------------------------

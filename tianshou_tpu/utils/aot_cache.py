@@ -3,10 +3,13 @@
 Why this exists: XLA's persistent compilation cache cannot round-trip
 AUTO-layout executables on the axon TPU backend (cache reads fail with
 ``INVALID_ARGUMENT`` and can poison same-named entries — round-4
-measurement, docs/PERFORMANCE.md), which blocked shipping the +14%
-AUTO-layout superstep by default.  ``jax.experimental.serialize_executable``
-*does* round-trip those executables (verified on the same backend), so this
-module keeps its own content-addressed store of serialized executables:
+measurement, docs/PERFORMANCE.md).  This module provides (a)
+:func:`compile_uncached`, which quarantines the persistent cache around a
+compile so AUTO executables can never poison real entries (the config
+flag ``jax_enable_compilation_cache=False`` is NOT honored on this
+backend — entries still get written; redirecting the cache *directory*
+is), and (b) a content-addressed store of ``serialize_executable``
+payloads:
 
 - key = sha256(lowered StableHLO text, jax version, device kind), so any
   change to the traced program, library, or hardware misses cleanly;
@@ -16,9 +19,18 @@ module keeps its own content-addressed store of serialized executables:
 - a failed load (backend restart, version skew, truncated file) deletes
   the entry and reports a miss — callers fall back to compiling.
 
-The XLA persistent cache is temporarily disabled around compiles routed
-through :func:`compile_uncached` so the poisoned-entry failure mode cannot
-occur at all.
+CAVEAT (why the trainer does NOT load AUTO executables from this store on
+the axon backend): serialization round-trips fine, but a DESERIALIZED
+executable demands arguments already laid out in its non-default
+parameter layouts, and nothing outside an executable can construct those
+on this backend — ``device_put`` (device->device or host->device, with an
+explicit tiled ``Format``) and a jitted identity with pinned
+``out_shardings`` all produce a *different* physical layout than
+requested (measured: asked ``(3,1,2,0)/(8,128)``-tiled, got
+``(1,2,3,0)/(4,128)``).  Only the process that compiled an AUTO
+executable can feed it, so cross-process reuse is limited to programs
+whose parameter layouts are default (which the plain XLA cache already
+handles).  See ``OffPolicyTrainer._compile_superstep``.
 """
 
 from __future__ import annotations
@@ -88,14 +100,25 @@ def store_compiled(key: str, compiled) -> bool:
 
 
 def compile_uncached(lowered):
-    """Compile with the XLA persistent cache disabled (see module doc)."""
-    try:
-        prev = jax.config.jax_enable_compilation_cache
-        jax.config.update("jax_enable_compilation_cache", False)
-    except Exception:
-        prev = None
-    try:
-        return lowered.compile()
-    finally:
-        if prev is not None:
-            jax.config.update("jax_enable_compilation_cache", prev)
+    """Compile WITHOUT touching the real XLA persistent cache.
+
+    ``jax_enable_compilation_cache=False`` is NOT honored on the axon
+    backend (measured: entries still get written — the plugin drives the
+    cache below the config check), and an AUTO-layout executable written
+    under a plain entry's key is exactly the poisoning this module exists
+    to avoid.  So instead the cache *directory* is redirected to a
+    throwaway quarantine dir for the duration of the compile; colliding
+    writes land there and never shadow real entries."""
+    import tempfile
+
+    quarantine = tempfile.mkdtemp(prefix="jax_cache_quarantine_")
+    # The quarantine dir is NOT restored afterwards: cache writes on this
+    # backend can land asynchronously AFTER compile() returns (observed: a
+    # superstep entry appearing in the real cache seconds after a
+    # dir-scoped redirect was reverted), so restoring would re-expose the
+    # real cache to the late write.  A process that opts into an
+    # uncached compile accepts that ITS later compiles are not
+    # persistently cached either; the tiny quarantine dir is garbage in
+    # /tmp, reaped by the OS.
+    jax.config.update("jax_compilation_cache_dir", quarantine)
+    return lowered.compile()
