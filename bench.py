@@ -78,6 +78,7 @@ def _bench_pipeline(algo, env, num_envs, segment_len, batch_size,
         update_per_step=updates_per_segment / (num_envs * segment_len),
         batch_size=batch_size,
     )
+    _bench_pipeline.last_trainer = trainer  # layouts marker for the stage line
     key = jax.random.key(0)
     cstate = collector.reset(key)
     ts = algo.init(jax.random.key(1), jax.tree.map(lambda x: x[0], cstate.obs))
@@ -192,6 +193,9 @@ def _conv_stage(name, env, encoder, num_envs, seg, batch, peak, platform,
         "metric": name,
         "value": round(sps, 1),
         "unit": "env-steps/s",
+        "layouts": getattr(
+            _bench_pipeline.last_trainer, "last_superstep_layouts", "plain"
+        ),
         "batch_size": batch,
         "updates_per_superstep": updates,
         "flops_per_superstep": flops,

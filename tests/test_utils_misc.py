@@ -425,7 +425,7 @@ def test_tree_packer_int_edge_values():
 # -- AOT executable cache (utils/aot_cache.py) -------------------------------
 
 
-def test_aot_cache_roundtrip(tmp_path, monkeypatch):
+def test_aot_cache_roundtrip(tmp_path, monkeypatch, request):
     """serialize_executable-backed store: hit returns a runnable executable
     with identical outputs; corrupt entries self-heal to a miss."""
     import jax
@@ -435,13 +435,24 @@ def test_aot_cache_roundtrip(tmp_path, monkeypatch):
     from tianshou_tpu.utils import aot_cache
 
     monkeypatch.setenv("TIANSHOU_TPU_AOT_CACHE", str(tmp_path))
+    # compile_uncached quarantines jax_compilation_cache_dir for process
+    # lifetime BY DESIGN (async backend cache writes); restore it after
+    # this test so later tests keep the warm persistent cache
+    prev_cache_dir = jax.config.jax_compilation_cache_dir
+    request.addfinalizer(
+        lambda: jax.config.update("jax_compilation_cache_dir", prev_cache_dir)
+    )
 
     def f(x, y):
         return jnp.tanh(x @ y).sum(axis=1), x + 1.0
 
-    x = jnp.arange(12.0).reshape(3, 4)
-    y = jnp.ones((4, 5))
-    lowered = jax.jit(f).lower(x, y)
+    # pin to ONE device: under the 8-device virtual CPU mesh the
+    # deserialized executable otherwise reloads expecting 8 shards
+    dev = jax.devices()[0]
+    sds = jax.sharding.SingleDeviceSharding(dev)
+    x = jax.device_put(jnp.arange(12.0).reshape(3, 4), dev)
+    y = jax.device_put(jnp.ones((4, 5)), dev)
+    lowered = jax.jit(f, in_shardings=(sds, sds), out_shardings=(sds, sds)).lower(x, y)
     key = aot_cache.aot_cache_key(lowered, extra="test")
     assert aot_cache.load_compiled(key) is None  # cold miss
     compiled = aot_cache.compile_uncached(lowered)
@@ -452,7 +463,9 @@ def test_aot_cache_roundtrip(tmp_path, monkeypatch):
     o2 = c2(x, y)
     np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]))
     # key depends on the program: a different function misses
-    lowered_b = jax.jit(lambda x, y: (x @ y, x)).lower(x, y)
+    lowered_b = jax.jit(
+        lambda x, y: (x @ y, x), in_shardings=(sds, sds)
+    ).lower(x, y)
     assert aot_cache.aot_cache_key(lowered_b, extra="test") != key
     # corrupt the entry -> load self-heals to a miss and removes the file
     path = tmp_path / (key + ".pkl")

@@ -909,12 +909,13 @@ class Seaquest(_StickyMixin, JaxEnv):
             state.dv_spawn_timer - 1,
         ).astype(jnp.int32)
         caught = dv_exists & (dv_x == sub_x) & (dv_y == sub_y)
-        room = state.diver_count < self.MAX_DIVERS
-        collected = jnp.where(room, caught.sum(), 0)
-        diver_count = jnp.minimum(
-            state.diver_count + collected, self.MAX_DIVERS
-        ).astype(jnp.int32)
-        dv_exists = dv_exists & ~(caught & room)
+        # collect only as many as the gauge has room for (slot order);
+        # divers beyond capacity stay on the board uncollected
+        space_left = self.MAX_DIVERS - state.diver_count
+        order = jnp.cumsum(caught.astype(jnp.int32)) - caught.astype(jnp.int32)
+        collect = caught & (order < space_left)
+        diver_count = (state.diver_count + collect.sum()).astype(jnp.int32)
+        dv_exists = dv_exists & ~collect
 
         # -- lethal contacts
         hit_enemy = (en_exists & (en_x == sub_x) & (en_y == sub_y)).any()

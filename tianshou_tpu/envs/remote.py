@@ -80,6 +80,17 @@ _CMD_STEP = 2
 _CMD_CLOSE = 3
 
 
+class _EnvCrash(Exception):
+    """An exception raised by the hosted envs themselves (as opposed to a
+    malformed client payload): triggers the fleet rebuild."""
+
+
+class FarmMismatchError(RuntimeError):
+    """Non-retryable handshake failure: wrong protocol version or a farm
+    whose fleet shape changed across a reconnect.  Raised immediately
+    instead of burning the reconnect budget on guaranteed-futile retries."""
+
+
 def _send_msg(sock: socket.socket, cmd: int, payload: bytes) -> None:
     sock.sendall(struct.pack("<II", cmd, len(payload)) + payload)
 
@@ -240,12 +251,22 @@ def serve_envs(
                     cmd, payload = _recv_msg(conn)
                     if cmd == _CMD_RESET:
                         (seed,) = struct.unpack("<q", payload)
-                        obs = venv.reset(None if seed < 0 else int(seed))
+                        try:
+                            obs = venv.reset(None if seed < 0 else int(seed))
+                        except Exception as exc:
+                            raise _EnvCrash(exc) from exc
                         out = codec.pack(obs)
                         conn.sendall(struct.pack("<I", len(out)) + out)
                     elif cmd == _CMD_STEP:
+                        # payload decoding errors are PROTOCOL errors (a
+                        # malformed or hostile client), not env crashes —
+                        # they drop the connection below without touching
+                        # the fleet
                         act = np.frombuffer(payload, act_dtype).reshape(act_shape)
-                        res, carry = venv.step(act)
+                        try:
+                            res, carry = venv.step(act)
+                        except Exception as exc:
+                            raise _EnvCrash(exc) from exc
                         out = _pack_step(codec, res, carry)
                         conn.sendall(struct.pack("<I", len(out)) + out)
                     elif cmd == _CMD_CLOSE:
@@ -257,7 +278,7 @@ def serve_envs(
                         raise ValueError(f"unknown command {cmd}")
             except (ConnectionError, OSError):
                 continue  # learner went away; keep the farm alive
-            except Exception as exc:  # env crashed: rebuild the fleet
+            except _EnvCrash as exc:  # env crashed: rebuild the fleet
                 print(
                     f"[farm] env failure ({exc!r}); rebuilding fleet",
                     file=sys.stderr,
@@ -270,6 +291,16 @@ def serve_envs(
                 venv = HostVectorEnv(env_fns)
                 venv.reset()
                 continue  # drop the connection; client reconnect retries
+            except Exception as exc:
+                # protocol violation (bad payload size, unknown command,
+                # port scanner): drop THIS connection, keep the fleet and
+                # its episode state intact for the legitimate learner
+                print(
+                    f"[farm] protocol error ({exc!r}); dropping connection",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
             finally:
                 try:
                     conn.close()
@@ -296,7 +327,7 @@ class _Farm:
         (ln,) = struct.unpack("<I", _recv_exact(self.sock, 4))
         hello = json.loads(_recv_exact(self.sock, ln).decode())
         if hello.get("proto") != _PROTO:
-            raise ConnectionError(
+            raise FarmMismatchError(
                 f"farm at {self.address} speaks protocol "
                 f"{hello.get('proto')!r}, expected {_PROTO}"
             )
@@ -310,8 +341,11 @@ class _Farm:
             self.observation_space = _space_from_json(hello["observation_space"])
             self.action_space = _space_from_json(hello["action_space"])
         elif num_envs != self.num_envs or codec.fields != self.codec.fields:
-            raise ConnectionError(
-                f"farm at {self.address} changed shape across reconnect"
+            # fail fast: retrying cannot fix a farm restarted with a
+            # different fleet — surface the real diagnosis immediately
+            raise FarmMismatchError(
+                f"farm at {self.address} changed shape across reconnect "
+                f"(num_envs {self.num_envs}->{num_envs})"
             )
 
     def _request(self, cmd: int, payload: bytes) -> bytes:

@@ -252,8 +252,22 @@ class OffPolicyTrainer:
         import os as _os
 
         mode = _os.environ.get("TIANSHOU_TPU_AUTO_LAYOUT", "")
+        self.last_superstep_layouts = "plain"
+        if mode == "1":
+            print(
+                "[auto-layout] TIANSHOU_TPU_AUTO_LAYOUT=1 is no longer an "
+                "opt-in (AUTO executables cannot be cached across processes "
+                "on this backend); use =compile to build AUTO layouts "
+                "in-process. Running with plain layouts.",
+                flush=True,
+            )
         if mode != "compile":
             return jitted.lower(*example).compile()
+        # Build the plain fallback FIRST, while the persistent cache is
+        # still reachable (warm hit = sub-second): compile_uncached below
+        # quarantines the cache for the REST OF THE PROCESS, so a fallback
+        # compiled after it would be a cold multi-minute compile.
+        plain = jitted.lower(*example).compile()
         try:
             import jax.numpy as jnp
 
@@ -284,14 +298,18 @@ class OffPolicyTrainer:
             o = c(o[0], o[1], o[2], jax.random.key(1), 0.0)
             float(jax.tree.leaves(o[4])[0])
             del o, bcopy
+            self.last_superstep_layouts = "auto"
             return c
         except Exception as exc:
+            # always visible: a silent fallback would let a plain-layout
+            # measurement masquerade as an AUTO one downstream
+            print(f"[auto-layout] falling back to plain layouts: {exc!r}",
+                  flush=True)
             if _os.environ.get("TIANSHOU_TPU_AUTO_DEBUG"):
                 import traceback
 
-                print(f"[auto-layout fallback] {exc!r}", flush=True)
                 traceback.print_exc()
-            return jitted.lower(*example).compile()
+            return plain
 
     # ------------------------------------------------------------------
     def _fused_fine_applicable(self, traj) -> bool:

@@ -73,8 +73,14 @@ def load_compiled(key: str):
         from jax.experimental.serialize_executable import deserialize_and_load
 
         with open(path, "rb") as f:
-            payload, in_tree, out_tree = pickle.load(f)
-        return deserialize_and_load(payload, in_tree, out_tree)
+            payload, in_tree, out_tree, num_devices = pickle.load(f)
+        # reload onto the SAME device count it was compiled for: the
+        # default is every addressable device, which breaks single-device
+        # executables under a forced multi-device (virtual mesh) runtime
+        return deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=jax.devices()[:num_devices],
+        )
     except Exception:
         try:
             os.remove(path)  # stale/corrupt entry: self-heal to a miss
@@ -90,9 +96,16 @@ def store_compiled(key: str, compiled) -> bool:
         from jax.experimental.serialize_executable import serialize
 
         payload, in_tree, out_tree = serialize(compiled)
+        fmts = jax.tree.leaves(
+            compiled.input_formats,
+            is_leaf=lambda x: type(x).__name__ == "Format",
+        )
+        num_devices = (
+            len(fmts[0].sharding.device_set) if fmts else 1
+        )
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree), f)
+            pickle.dump((payload, in_tree, out_tree, num_devices), f)
         os.replace(tmp, path)
         return True
     except Exception:
