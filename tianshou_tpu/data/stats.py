@@ -6,11 +6,13 @@ import dataclasses
 
 import numpy as np
 
+from tianshou_tpu.utils.repr import DataclassPPrintMixin
+
 __all__ = ["SequenceSummaryStats", "TimingStats", "InfoStats"]
 
 
 @dataclasses.dataclass
-class SequenceSummaryStats:
+class SequenceSummaryStats(DataclassPPrintMixin):
     """Mean/std/max/min summary of a sequence (``stats.py:14-30``)."""
 
     mean: float
@@ -29,7 +31,7 @@ class SequenceSummaryStats:
 
 
 @dataclasses.dataclass
-class TimingStats:
+class TimingStats(DataclassPPrintMixin):
     """Wall-clock breakdown (``stats.py:34-48``)."""
 
     total_time: float = 0.0
@@ -41,7 +43,7 @@ class TimingStats:
 
 
 @dataclasses.dataclass
-class InfoStats:
+class InfoStats(DataclassPPrintMixin):
     """End-of-run summary (``stats.py:52-71`` / ``gather_info``)."""
 
     gradient_step: int

@@ -5,11 +5,13 @@ from __future__ import annotations
 
 import dataclasses
 
+from tianshou_tpu.utils.repr import DataclassPPrintMixin
+
 __all__ = ["SamplingConfig"]
 
 
 @dataclasses.dataclass
-class SamplingConfig:
+class SamplingConfig(DataclassPPrintMixin):
     """Training-loop sampling parameters, mirroring the reference field
     for field (``config.py:8-145``)."""
 

@@ -26,6 +26,7 @@ from tianshou_tpu.collect.host_collector import HostCollector
 from tianshou_tpu.data.buffer import ReplayBuffer
 from tianshou_tpu.data.prio import PrioritizedReplayBuffer
 from tianshou_tpu.data.stats import InfoStats
+from tianshou_tpu.utils.repr import ToStringMixin
 from tianshou_tpu.envs.spaces import Box, Discrete
 from tianshou_tpu.highlevel.config import SamplingConfig
 from tianshou_tpu.highlevel.env import EnvFactory, Environments
@@ -111,8 +112,13 @@ class ExperimentResult:
     watch_stats: Any = None
 
 
-class Experiment:
-    """Pickle-able experiment = config + factories (``experiment.py:133``)."""
+class Experiment(ToStringMixin):
+    """Pickle-able experiment = config + factories (``experiment.py:133``).
+
+    Like the reference ``Experiment(ToStringMixin)``, the repr renders the
+    full declarative configuration (factories by name, dataclasses by
+    field) so a persisted run directory is identifiable at a glance.
+    """
 
     def __init__(
         self,
